@@ -1,0 +1,48 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Multi-chip sharding (reart_tpu.parallel) is validated on a virtual CPU mesh;
+real-TPU benchmarking happens in bench.py, not the test suite.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# A TPU plugin may self-register via sitecustomize and ignore JAX_PLATFORMS;
+# the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def torch_available() -> bool:
+    try:
+        import torch  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+requires_reference = pytest.mark.skipif(
+    not (reference_available() and torch_available()),
+    reason="reference repo or torch not available for oracle-parity tests",
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
