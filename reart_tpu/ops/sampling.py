@@ -1,0 +1,103 @@
+"""Farthest-point sampling, ball query, gathering — compiled control flow.
+
+Replaces the reference's CUDA kernels (networks/pointnet_lib/src/
+sampling_gpu.cu, ball_query_gpu.cu, group_points_gpu.cu) with
+`lax.fori_loop` / top-k formulations that XLA compiles onto the TPU without
+dynamic shapes.
+
+Determinism contract preserved from the CUDA kernels:
+  * FPS always starts at index 0 (sampling_gpu.cu:113-115), not at a random
+    index like the reference's python fallback;
+  * ball query returns the first `nsample` in-radius indices in point order,
+    padding with the first in-radius point (ball_query_gpu.cu:9-67).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from reart_tpu.ops.distance import pairwise_sqdist
+
+
+def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather: points (B, N, C), idx (B, ...) -> (B, ..., C).
+    (reference networks/pointnet2_utils.py:54-71)"""
+    b = points.shape[0]
+    flat = idx.reshape(b, -1)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(idx.shape + (points.shape[-1],))
+
+
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Iterative FPS. xyz: (B, N, 3) -> indices (B, npoint), starting at 0.
+
+    The loop is inherently sequential over npoint; each step is a masked
+    distance update + argmax over N — pure VPU work under `lax.fori_loop`.
+    """
+    b, n, _ = xyz.shape
+    mask = jnp.ones((b, n), dtype=bool)
+    start = jnp.zeros((b,), dtype=jnp.int32)
+    return _fps_loop(xyz, mask, start, npoint)
+
+
+def masked_farthest_point_sample(
+    xyz: jnp.ndarray, mask: jnp.ndarray, npoint: int
+) -> jnp.ndarray:
+    """FPS restricted to `mask`-selected points, static shapes.
+
+    Equivalent to running FPS on the compacted subset (what the reference
+    does per part in graph_utils.fps_sample_cano:39-54): the start point is
+    the first masked index, and unmasked points can never be selected.
+    Returns indices into the ORIGINAL point array.
+
+    xyz: (B, N, 3); mask: (B, N) bool. Caller guarantees >= npoint true
+    entries per row (the reference raises otherwise; we cannot under jit).
+    """
+    start = jnp.argmax(mask, axis=-1).astype(jnp.int32)
+    return _fps_loop(xyz, mask, start, npoint)
+
+
+def _fps_loop(xyz, mask, start, npoint):
+    b, n, _ = xyz.shape
+    neg_inf = jnp.asarray(-jnp.inf, dtype=xyz.dtype)
+
+    def body(i, state):
+        dist, farthest, out = state
+        out = out.at[:, i].set(farthest)
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None].repeat(3, -1), axis=1)
+        d = jnp.sum((xyz - centroid) ** 2, axis=-1)  # (B, N)
+        dist = jnp.minimum(dist, d)
+        score = jnp.where(mask, dist, neg_inf)
+        farthest = jnp.argmax(score, axis=-1).astype(jnp.int32)
+        return dist, farthest, out
+
+    dist0 = jnp.full((b, n), jnp.inf, dtype=xyz.dtype)
+    out0 = jnp.zeros((b, npoint), dtype=jnp.int32)
+    _, _, out = jax.lax.fori_loop(0, npoint, body, (dist0, start, out0))
+    return out
+
+
+def ball_query(
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> jnp.ndarray:
+    """For each query centroid, indices of up to `nsample` points within
+    `radius`, in point order, padded with the first in-radius point.
+
+    xyz: (B, N, 3) points; new_xyz: (B, S, 3) centroids -> (B, S, nsample).
+
+    Formulation: rank points by the key (out_of_radius * N + index) and take
+    the `nsample` smallest — in-radius points in index order come first. A
+    top-k over a monotone int key replaces the CUDA kernel's sequential scan.
+    """
+    b, n, _ = xyz.shape
+    sq = pairwise_sqdist(new_xyz, xyz)  # (B, S, N)
+    in_radius = sq < (radius * radius)
+    arange = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(in_radius, arange, arange + n)  # (B, S, N)
+    neg_topk, _ = jax.lax.top_k(-key, nsample)
+    sel = -neg_topk  # ascending keys
+    idx = jnp.where(sel < n, sel, sel - n)  # candidate indices
+    valid = sel < n
+    first = idx[..., :1]  # first in-radius point (or index of point 0)
+    return jnp.where(valid, idx, first)
