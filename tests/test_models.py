@@ -51,8 +51,10 @@ class TestBaseModel:
         logits = jnp.asarray(rng.randn(50, 8).astype(np.float32))
         y = gumbel_softmax(key, logits, tau=2.0, hard=True)
         np.testing.assert_allclose(np.asarray(y.sum(-1)), 1.0, atol=1e-6)
-        # hard output is exactly one-hot in the forward pass
-        assert (np.asarray((y == 1.0).sum(-1)) == 1).all()
+        # hard output is one-hot in the forward pass (up to fp reassociation)
+        ynp = np.asarray(y)
+        assert (np.isclose(ynp, 1.0, atol=1e-6).sum(-1) == 1).all()
+        assert np.isclose(np.sort(ynp, -1)[:, :-1], 0.0, atol=1e-6).all()
         # gradient flows (straight-through)
         g = jax.grad(lambda l: jnp.sum(gumbel_softmax(key, l, 2.0, True) ** 2))(logits)
         assert np.abs(np.asarray(g)).sum() > 0
