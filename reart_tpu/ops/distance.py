@@ -72,13 +72,12 @@ def chamfer(
     reduction deliberately disabled).
 
     src, tgt: (..., N, 3) / (..., M, 3).
-    Returns:
+    Returns (the reference contract, utils/chamfer.py:119-132):
       * default: dist_src2tgt (..., N)
-      * bidirectional: dist_src2tgt + appended tgt2src along the point axis
-        is NOT what the reference does — it returns the SUM of both per-point
-        sets reduced by the caller; we mirror the reference exactly by
-        returning (dist_src2tgt, dist_tgt2src) when bidirectional.
-      * return_index: also the nearest-neighbor indices into tgt.
+      * reverse: dist_tgt2src (..., M)
+      * bidirectional: dist_src2tgt + dist_tgt2src elementwise (requires
+        N == M — true throughout the pipeline)
+      * return_index: additionally the NN indices (fwd[, bwd]).
     """
     idx_fwd = jax.lax.stop_gradient(
         jnp.argmin(pairwise_sqdist(src, tgt), axis=-1)
@@ -91,8 +90,8 @@ def chamfer(
         d_bwd = _gathered_sqdist(tgt, src, idx_bwd)
     if bidirectional:
         if return_index:
-            return (d_fwd, d_bwd), (idx_fwd, idx_bwd)
-        return d_fwd, d_bwd
+            return d_fwd + d_bwd, idx_fwd, idx_bwd
+        return d_fwd + d_bwd
     if reverse:
         return (d_bwd, idx_bwd) if return_index else d_bwd
     return (d_fwd, idx_fwd) if return_index else d_fwd
@@ -100,9 +99,9 @@ def chamfer(
 
 def chamfer_loss(src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
     """Summed bidirectional Chamfer: the reference's recon_loss
-    (networks/loss.py:24-29 — chamfer(bidirectional) then torch.sum)."""
-    d_fwd, d_bwd = chamfer(src, tgt, bidirectional=True)
-    return jnp.sum(d_fwd) + jnp.sum(d_bwd)
+    (networks/loss.py:24-29 — chamfer(bidirectional) then torch.sum).
+    Summed form works for N != M too (sum(fwd + bwd) == sum(fwd) + sum(bwd))."""
+    return jnp.sum(chamfer(src, tgt)) + jnp.sum(chamfer(src, tgt, reverse=True))
 
 
 def knn_transfer_labels(query_pc: jnp.ndarray, src_pc: jnp.ndarray,

@@ -42,10 +42,16 @@ class TestDistance:
     def test_chamfer_values(self, rng):
         src = rng.randn(2, 30, 3).astype(np.float32)
         tgt = rng.randn(2, 40, 3).astype(np.float32)
-        d_fwd, d_bwd = O.chamfer(jnp.asarray(src), jnp.asarray(tgt), bidirectional=True)
+        d_fwd = O.chamfer(jnp.asarray(src), jnp.asarray(tgt))
+        d_bwd = O.chamfer(jnp.asarray(src), jnp.asarray(tgt), reverse=True)
         full = np.sum((src[:, :, None] - tgt[:, None]) ** 2, axis=-1)
         np.testing.assert_allclose(np.asarray(d_fwd), full.min(-1), atol=1e-5)
         np.testing.assert_allclose(np.asarray(d_bwd), full.min(-2), atol=1e-5)
+        both = O.chamfer(jnp.asarray(src), jnp.asarray(tgt[:, :30]), bidirectional=True)
+        full30 = full[:, :, :30]
+        np.testing.assert_allclose(
+            np.asarray(both), full30.min(-1) + full30.min(-2), atol=1e-5
+        )
 
     def test_chamfer_grad(self, rng):
         """Gradient must equal d/dsrc of sum of squared NN distances with
