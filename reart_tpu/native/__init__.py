@@ -1,0 +1,119 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Builds `libreart_native.so` from the bundled sources on first use (g++),
+caching it next to this file. Every entry point has a pure-python/scipy
+fallback so the framework still works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SOURCES = ["lap.cpp", "ted.cpp"]
+_LIB_PATH = os.path.join(_HERE, "libreart_native.so")
+_LOCK = threading.Lock()
+_LIB = None
+_BUILD_FAILED = False
+
+
+def _build() -> bool:
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES if os.path.exists(os.path.join(_HERE, s))]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *srcs, "-o", _LIB_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        return True
+    except Exception:
+        return False
+
+
+def _stale() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    return any(
+        os.path.getmtime(os.path.join(_HERE, s)) > lib_mtime
+        for s in _SOURCES
+        if os.path.exists(os.path.join(_HERE, s))
+    )
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _LIB, _BUILD_FAILED
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if _BUILD_FAILED:
+            return None
+        if _stale() and not _build():
+            _BUILD_FAILED = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _BUILD_FAILED = True
+            return None
+        lib.lap_solve_batch.restype = ctypes.c_int
+        lib.lap_solve_batch.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
+        if hasattr(lib, "ted_distance"):
+            lib.ted_distance.restype = ctypes.c_int
+            lib.ted_distance.argtypes = [
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ]
+        _LIB = lib
+        return _LIB
+
+
+def lap_solve_batch(cost: np.ndarray) -> np.ndarray:
+    """Exact LAP on (B, N, M) float costs -> row_to_col (B, N) int32.
+
+    Native JV when available; scipy fallback otherwise. (Replaces the
+    reference's parallel_lap multiprocessing fan-out.)
+    """
+    cost = np.ascontiguousarray(cost, dtype=np.float32)
+    if cost.ndim == 2:
+        cost = cost[None]
+    b, n, m = cost.shape
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((b, n), dtype=np.int32)
+        rc = lib.lap_solve_batch(
+            b, n, m,
+            cost.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return out
+    from scipy.optimize import linear_sum_assignment
+
+    out = np.empty((b, n), dtype=np.int32)
+    for k in range(b):
+        rows, cols = linear_sum_assignment(cost[k])
+        out[k, rows] = cols
+    return out
+
+
+def ted_distance(pre_l: np.ndarray, pre_r: np.ndarray) -> int:
+    """Ordered tree edit distance between two trees in left-most-leaf/postorder
+    encoding (see native/ted.cpp). Python fallback lives in graph/ted.py."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ted_distance"):
+        raise RuntimeError("native ted unavailable")
+    a = np.ascontiguousarray(pre_l, dtype=np.int32)
+    b = np.ascontiguousarray(pre_r, dtype=np.int32)
+    return int(
+        lib.ted_distance(
+            len(a), a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(b), b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    )

@@ -1,0 +1,79 @@
+"""Assignment solvers: native JV exactness + TPU auction quality."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from reart_tpu.ops.assignment import auction_lap, assignment_cost
+from reart_tpu import native
+
+
+def scipy_opt_cost(c):
+    r, col = linear_sum_assignment(c)
+    return c[r, col].sum()
+
+
+class TestNativeLAP:
+    def test_exact_vs_scipy(self, rng):
+        c = rng.rand(3, 40, 40).astype(np.float32)
+        out = native.lap_solve_batch(c)
+        for k in range(3):
+            ours = c[k][np.arange(40), out[k]].sum()
+            np.testing.assert_allclose(ours, scipy_opt_cost(c[k]), rtol=1e-6)
+            assert len(set(out[k].tolist())) == 40  # valid permutation
+
+    def test_rectangular(self, rng):
+        c = rng.rand(1, 10, 25).astype(np.float32)
+        out = native.lap_solve_batch(c)
+        np.testing.assert_allclose(
+            c[0][np.arange(10), out[0]].sum(), scipy_opt_cost(c[0]), rtol=1e-6
+        )
+
+    def test_structured_cost(self, rng):
+        # near-permutation cost (what point matching looks like late in a fit)
+        n = 64
+        perm = rng.permutation(n)
+        c = rng.rand(n, n).astype(np.float32) + 5.0
+        c[np.arange(n), perm] = rng.rand(n).astype(np.float32) * 0.01
+        out = native.lap_solve_batch(c[None])[0]
+        np.testing.assert_array_equal(out, perm)
+
+
+class TestAuction:
+    def test_quality_random(self, rng):
+        c = rng.rand(2, 64, 64).astype(np.float32)
+        out = np.asarray(auction_lap(jnp.asarray(c), eps_min=1e-5))
+        for k in range(2):
+            assert len(set(out[k].tolist())) == 64
+            ours = c[k][np.arange(64), out[k]].sum()
+            opt = scipy_opt_cost(c[k])
+            assert ours <= opt + 64 * 1e-5 + 1e-4, (ours, opt)
+
+    def test_quality_pointcloud_cost(self, rng):
+        """Cost = pairwise sq distances between two noisy copies of a cloud —
+        the actual workload shape."""
+        n = 128
+        x = rng.rand(n, 3).astype(np.float32)
+        y = x[rng.permutation(n)] + 0.01 * rng.randn(n, 3).astype(np.float32)
+        c = np.sum((x[:, None] - y[None]) ** 2, axis=-1)
+        out = np.asarray(auction_lap(jnp.asarray(c[None]), eps_min=1e-6))[0]
+        assert len(set(out.tolist())) == n
+        ours = c[np.arange(n), out].sum()
+        opt = scipy_opt_cost(c)
+        assert ours <= opt * 1.01 + n * 1e-6, (ours, opt)
+
+    def test_batched(self, rng):
+        c = rng.rand(5, 32, 32).astype(np.float32)
+        out = np.asarray(auction_lap(jnp.asarray(c)))
+        assert out.shape == (5, 32)
+        for k in range(5):
+            assert len(set(out[k].tolist())) == 32
+
+    def test_assignment_cost_helper(self, rng):
+        c = rng.rand(2, 16, 16).astype(np.float32)
+        out = auction_lap(jnp.asarray(c))
+        total = np.asarray(assignment_cost(jnp.asarray(c), out))
+        for k in range(2):
+            expect = c[k][np.arange(16), np.asarray(out)[k]].sum()
+            np.testing.assert_allclose(total[k], expect, rtol=1e-5)
