@@ -1,0 +1,114 @@
+"""Evaluation metrics: flow EPE/accuracy/angle, segmentation Rand Index,
+Chamfer errors, and the model-selection energy.
+
+Parity targets: utils/eval_utils.py, utils/model_utils.py:92-118 and the
+driver-side energy assembly (run_robot.py:306-314). All metrics are batched
+jnp (the Rand Index's N x N co-membership product and the Chamfer 1-NN are
+MXU work); callers get python floats.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from reart_tpu.losses import group_temporal_err
+from reart_tpu.ops.assignment import auction_lap, assignment_cost
+from reart_tpu.ops.distance import nearest_neighbor, pairwise_sqdist
+
+
+def eval_flow(pred_flow_list, gt_flow_list, acc1_thre=0.05, acc2_thre=0.1):
+    """EPE, Acc@acc1, Acc@acc2 (absolute-or-relative), mean angle error.
+    (utils/eval_utils.py:6-22; NaN dot products count as angle 0.)"""
+    pred = np.asarray(pred_flow_list, np.float64)
+    gt = np.asarray(gt_flow_list, np.float64)
+    error = np.sqrt(np.sum((pred - gt) ** 2, 2) + 1e-20)
+    gt_len = np.sqrt(np.sum(gt * gt, 2) + 1e-20)
+    acc1 = np.mean(np.mean(np.logical_or(error <= acc1_thre, error / gt_len <= acc1_thre), axis=1))
+    acc2 = np.mean(np.mean(np.logical_or(error <= acc2_thre, error / gt_len <= acc2_thre), axis=1))
+    epe = np.mean(error)
+    with np.errstate(invalid="ignore"):
+        unit_gt = gt / np.linalg.norm(gt, axis=-1, keepdims=True)
+        unit_pred = pred / np.linalg.norm(pred, axis=-1, keepdims=True)
+        dot = (unit_gt * unit_pred).sum(2).clip(-1 + 1e-7, 1 - 1e-7)
+    dot[np.isnan(dot)] = 1.0
+    angle_error = np.mean(np.arccos(dot).mean(axis=1))
+    return float(epe), float(acc1), float(acc2), float(angle_error)
+
+
+def eval_seg(gt_segm, pd_segm) -> float:
+    """Rand Index via N x N co-membership agreement (utils/eval_utils.py:25-36).
+
+    One (N, S) @ (S, N) matmul per labeling — pure MXU work instead of the
+    reference's dense eye-indexing.
+    """
+    gt = jnp.asarray(gt_segm, jnp.int32)
+    pd = jnp.asarray(pd_segm, jnp.int32)
+    n = gt.shape[0]
+    s = int(max(jnp.max(gt), jnp.max(pd))) + 1
+    gt_oh = jnp.eye(s, dtype=jnp.float32)[gt]
+    pd_oh = jnp.eye(s, dtype=jnp.float32)[pd]
+    co_gt = gt_oh @ gt_oh.T
+    co_pd = pd_oh @ pd_oh.T
+    return float(jnp.sum(co_gt == co_pd) / (n * n))
+
+
+def compute_chamfer(points_1, points_2, reduction: str = "sum") -> float:
+    """Bidirectional squared-distance Chamfer of two clouds
+    (utils/eval_utils.py:39-55 — the reference uses a CPU KDTree; 1-NN over a
+    pairwise matrix is identical and device-friendly)."""
+    p1 = jnp.asarray(points_1, jnp.float32)
+    p2 = jnp.asarray(points_2, jnp.float32)
+    d12, _ = nearest_neighbor(p1, p2)
+    d21, _ = nearest_neighbor(p2, p1)
+    red = jnp.mean if reduction == "mean" else jnp.sum
+    return float(red(d12) + red(d21))
+
+
+def compute_chamfer_list(points_set1, points_set2, reduction: str = "sum"):
+    """Per-frame Chamfer, reduced (utils/eval_utils.py:58-66)."""
+    cd = np.asarray([
+        compute_chamfer(p1, p2, reduction=reduction)
+        for p1, p2 in zip(points_set1, points_set2)
+    ])
+    if reduction == "mean":
+        return float(cd.mean())
+    if reduction == "sum":
+        return float(cd.sum())
+    return cd
+
+
+def compute_ass_err(pc_src_list, pc_tgt_list) -> float:
+    """Mean optimal-assignment point error (utils/model_utils.py:92-103):
+    per frame, Hungarian on the EUCLIDEAN cdist, then the mean SQUARED
+    distance over matched pairs; the LAPs run on-device (auction) instead of
+    a multiprocessing pool."""
+    src = jnp.asarray(pc_src_list, jnp.float32)
+    tgt = jnp.asarray(pc_tgt_list, jnp.float32)
+    sq = pairwise_sqdist(src, tgt)
+    perm = auction_lap(jnp.sqrt(sq))
+    sq_matched = assignment_cost(sq, perm)  # (T,) summed squared dists
+    return float(jnp.mean(sq_matched) / src.shape[1])
+
+
+def energy(pred_pc_list, pc_list, trans_list, joint_connection, seg_part,
+           complete_pred_pc_list=None, include_group: bool = True):
+    """Model-selection energy: 100 * ass_err + screw_err (+ group_err)
+    (run_robot.py:306-314; sapien omits the group term, run_sapien.py:326)."""
+    from reart_tpu.graph import compute_screw_cost
+
+    ass_err = 100.0 * compute_ass_err(pred_pc_list, pc_list)
+    screw_err = float(compute_screw_cost(trans_list, joint_connection))
+    total = ass_err + screw_err
+    parts = {"ass_err": ass_err, "screw_err": screw_err}
+    if include_group:
+        assert complete_pred_pc_list is not None
+        num_parts = int(jnp.max(jnp.asarray(seg_part))) + 1
+        group_err = float(group_temporal_err(
+            jnp.asarray(complete_pred_pc_list, jnp.float32),
+            jnp.asarray(seg_part, jnp.int32), num_parts,
+        ))
+        parts["group_err"] = group_err
+        total += group_err
+    parts["total_err"] = total
+    return parts

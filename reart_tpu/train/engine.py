@@ -1,0 +1,314 @@
+"""The fit engine: scan-compiled per-sequence optimization.
+
+Capability parity with the reference's driver hot loops (run_robot.py:154-221,
+run_sapien.py / run_real.py equivalents), redesigned for XLA:
+
+  * the reference's iteration loop is Python; ours is `lax.scan`, compiled
+    once — the 15k-iteration relaxation phase is O(1) dispatches;
+  * the reference ships the assignment cost to the host and fans scipy
+    Hungarian solves across a multiprocessing pool every `assign_gap` iters
+    (run_robot.py:164-187); ours solves the same LAPs on-device with the
+    batched epsilon-scaling auction (reart_tpu/ops/assignment.py), so the
+    assignment phase is also one compiled scan with zero host syncs;
+  * flow blending (blend_anchor_motion under no_grad, run_robot.py:195-204)
+    becomes a `stop_gradient` region inside the same compiled step.
+
+The engine is model-agnostic: it takes a `forward(params, key, tau)` callable
+returning the (pc_trans_list, seg_argmax, trans_list) contract shared by both
+model stages, so the relaxation (base) and projection (kinematic) fits reuse
+one loss/step/scan implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from reart_tpu.losses import flow_loss as _flow_loss
+from reart_tpu.losses import recon_loss as _recon_loss
+from reart_tpu.ops import blend_anchor_motion, farthest_point_sample, index_points
+from reart_tpu.ops.assignment import auction_lap
+from reart_tpu.ops.distance import pairwise_sqdist
+from reart_tpu.train.schedules import tau_cosine
+
+ForwardFn = Callable[..., tuple]  # (params, key, tau) -> (pc_trans, seg, trans)
+
+# sentinel coordinate for padded flow anchors: far enough that a padded anchor
+# can never enter a real point's 3-NN set
+FAR = 1e6
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Mirrors the reference argparse surface (run_robot.py:361-419) minus
+    host/path concerns. Defaults = robot relaxation defaults."""
+
+    n_iter: int = 15000
+    # losses
+    use_assign_loss: bool = False
+    use_flow_loss: bool = False
+    use_robust_loss: bool = False
+    always_recon: bool = False        # sapien keeps recon on in assign phase (run_sapien.py:174)
+    assign_iter: int = 5000           # first iteration of the assignment phase
+    assign_gap: int = 5               # LAP recompute cadence
+    downsample: int = 4               # FPS downsample for the assignment cost
+    # loss weights
+    lambda_assign: float = 3e-1
+    lambda_flow: float = 1.0
+    # gumbel temperature schedule
+    start_tau: float = 5.0
+    end_tau: float = 1.0
+    # optimizer
+    seg_lr: float = 1e-3
+    trans_lr: float = 1e-2
+    weight_decay: float = 0.0
+
+
+class FlowContext(NamedTuple):
+    """Precomputed flow supervision for consecutive frame pairs.
+
+    pc_ref / flow_ref: (T-1, M, 3) anchor points of the SOURCE frame of each
+    consecutive pair and their matched flows (reference run_robot.py:78-84).
+    Rows are padded to a common M with FAR-away points and zero flow; at
+    least 3 valid anchors per pair are required.
+    """
+
+    pc_ref: jnp.ndarray
+    flow_ref: jnp.ndarray
+
+    @staticmethod
+    def from_lists(pc_refs, flow_refs):
+        """Pad variable-length per-pair anchor lists to static shapes."""
+        import numpy as np
+
+        m = max(int(p.shape[0]) for p in pc_refs)
+        t = len(pc_refs)
+        pc = np.full((t, m, 3), FAR, dtype=np.float32)
+        fl = np.zeros((t, m, 3), dtype=np.float32)
+        for i, (p, f) in enumerate(zip(pc_refs, flow_refs)):
+            pc[i, : p.shape[0]] = p
+            fl[i, : f.shape[0]] = f
+        return FlowContext(jnp.asarray(pc), jnp.asarray(fl))
+
+
+class AssignContext(NamedTuple):
+    """Static FPS downsampling for the assignment loss (run_robot.py:166-170).
+
+    Both index sets depend only on the (fixed) canonical cloud and target
+    frames, so they are computed once per fit, not per recompute."""
+
+    src_idx: jnp.ndarray  # (num_fps,) into cano_pc / pc_trans_list rows
+    pc_tgt: jnp.ndarray   # (T-1, num_fps, 3) FPS-downsampled target frames
+
+
+def build_assign_context(cano_pc, pc_list, downsample: int) -> AssignContext:
+    num_fps = pc_list.shape[1] // downsample
+    src_idx = farthest_point_sample(cano_pc[None], num_fps)[0]
+    tgt_idx = farthest_point_sample(pc_list, num_fps)
+    return AssignContext(src_idx=src_idx, pc_tgt=index_points(pc_list, tgt_idx))
+
+
+def make_optimizer(params, cfg: FitConfig, two_groups: bool):
+    """Adam with the reference's param groups: seg MLP at seg_lr, proposals at
+    trans_lr (run_robot.py:146-148); single-group trans_lr otherwise (:150).
+    weight_decay matches torch Adam's L2-in-gradient form."""
+
+    def group(lr):
+        steps = [optax.add_decayed_weights(cfg.weight_decay)] if cfg.weight_decay else []
+        return optax.chain(*steps, optax.adam(lr))
+
+    if not two_groups:
+        return group(cfg.trans_lr)
+    labels = {k: ("seg" if k == "seg" else "trans") for k in params}
+    return optax.multi_transform(
+        {"seg": group(cfg.seg_lr), "trans": group(cfg.trans_lr)}, labels
+    )
+
+
+def _complete(pc_trans_list, cano_pc, cano_idx: int):
+    """Re-insert the canonical frame at its original position."""
+    return jnp.concatenate(
+        [pc_trans_list[:cano_idx], cano_pc[None], pc_trans_list[cano_idx:]], axis=0
+    )
+
+
+def _blended_flow(pc_trans_list, cano_pc, cano_idx: int, flow_ctx: FlowContext):
+    """Interpolate the reference flows onto the predicted source points of
+    every consecutive pair (reference run_robot.py:195-204, no_grad)."""
+    query_list = _complete(pc_trans_list, cano_pc, cano_idx)[:-1]  # (T-1, N, 3)
+    blended, mask = jax.vmap(
+        functools.partial(blend_anchor_motion, return_mask=True)
+    )(query_list, flow_ctx.pc_ref, flow_ctx.flow_ref)
+    return jax.lax.stop_gradient(blended), jax.lax.stop_gradient(mask)
+
+
+def _flow_term(pc_trans_list, cano_pc, cano_idx, flow_ctx, cfg: FitConfig):
+    blended, mask = _blended_flow(pc_trans_list, cano_pc, cano_idx, flow_ctx)
+    complete_pred = _complete(pc_trans_list, cano_pc, cano_idx)
+    pred_flow = complete_pred[1:] - complete_pred[:-1]
+    return cfg.lambda_flow * _flow_loss(
+        blended, pred_flow, flow_mask_list=mask, robust=cfg.use_robust_loss
+    )
+
+
+def fit(
+    key,
+    forward_fn: ForwardFn,
+    params,
+    cfg: FitConfig,
+    cano_pc,
+    pc_list,
+    cano_idx: int = 0,
+    flow_ctx: FlowContext | None = None,
+    two_group_opt: bool = False,
+    tau_fn=None,
+):
+    """Run the full per-sequence fit. Returns (params, history dict).
+
+    history holds per-iteration float32 scalars: total_loss, recon_loss,
+    ass_loss, flow_loss (zeros where a term is inactive) — the reference's
+    printed `losses` dict (run_robot.py:186-216) in array form.
+    """
+    cano_pc = jnp.asarray(cano_pc, jnp.float32)
+    pc_list = jnp.asarray(pc_list, jnp.float32)
+    tx = make_optimizer(params, cfg, two_groups=two_group_opt)
+    opt_state = tx.init(params)
+    if tau_fn is None:
+        tau_fn = functools.partial(
+            tau_cosine, max_iter=cfg.n_iter, end_temp=cfg.end_tau,
+            start_temp=cfg.start_tau,
+        )
+
+    use_assign = cfg.use_assign_loss and cfg.assign_iter < cfg.n_iter
+    n_recon = min(cfg.assign_iter, cfg.n_iter) if use_assign else cfg.n_iter
+
+    def loss_fn(params, it, perm, actx: AssignContext | None):
+        """it: traced global iteration index. perm is None in the recon phase."""
+        step_key = jax.random.fold_in(key, it)
+        tau = tau_fn(it + 1)
+        pc_trans_list, seg, trans_list = forward_fn(params, step_key, tau)
+        terms = {}
+        if perm is None or cfg.always_recon:
+            terms["recon_loss"] = _recon_loss(pc_trans_list, pc_list)
+        if perm is not None:
+            pc_src = pc_trans_list[:, actx.src_idx]  # (T-1, M, 3)
+            matched = jnp.take_along_axis(
+                actx.pc_tgt, perm[..., None].astype(jnp.int32).repeat(3, -1), axis=1
+            )
+            terms["ass_loss"] = cfg.lambda_assign * jnp.sum(
+                (pc_src - matched) ** 2
+            )
+        if flow_ctx is not None and cfg.use_flow_loss:
+            terms["flow_loss"] = _flow_term(
+                pc_trans_list, cano_pc, cano_idx, flow_ctx, cfg
+            )
+        total = functools.reduce(jnp.add, terms.values())
+        terms["total_loss"] = total
+        return total, terms
+
+    def log_of(terms):
+        return {
+            k: terms.get(k, jnp.asarray(0.0, jnp.float32))
+            for k in ("total_loss", "recon_loss", "ass_loss", "flow_loss")
+        }
+
+    def step(carry, it, perm=None, actx=None):
+        params, opt_state = carry
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, it, perm, actx
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), log_of(terms)
+
+    history = []
+
+    # ---- phase 1: recon (+flow) ------------------------------------------
+    if n_recon > 0:
+        recon_scan = jax.jit(
+            lambda carry, its: jax.lax.scan(step, carry, its)
+        )
+        (params, opt_state), h = recon_scan(
+            (params, opt_state), jnp.arange(n_recon)
+        )
+        history.append(h)
+
+    # ---- phase 2: assignment (+flow), LAP recomputed every assign_gap ----
+    if use_assign and cfg.n_iter > n_recon:
+        actx = build_assign_context(cano_pc, pc_list, cfg.downsample)
+        remaining = cfg.n_iter - n_recon
+        gap = max(1, cfg.assign_gap)
+        n_outer = -(-remaining // gap)  # ceil
+        pad = n_outer * gap - remaining  # trailing iters beyond n_iter: masked
+
+        def solve_perm(params, it):
+            """Recompute the per-frame LAP on the current prediction
+            (reference run_robot.py:165-178, no_grad + scipy/mp-pool)."""
+            step_key = jax.random.fold_in(key, it)
+            pc_trans_list, _, _ = forward_fn(params, step_key, tau_fn(it + 1))
+            pc_src = jax.lax.stop_gradient(pc_trans_list[:, actx.src_idx])
+            cost = jnp.sqrt(pairwise_sqdist(pc_src, actx.pc_tgt))
+            return auction_lap(cost)
+
+        def outer(carry, outer_idx):
+            params, opt_state = carry
+            it0 = n_recon + outer_idx * gap
+            perm = solve_perm(params, it0)
+
+            def inner(c, j):
+                it = it0 + j
+                # iterations past n_iter (chunk padding) become no-ops
+                c_new, logs = step(c, it, perm=perm, actx=actx)
+                keep = it < cfg.n_iter
+                c_kept = jax.tree.map(
+                    lambda new, old: jnp.where(keep, new, old), c_new, c
+                )
+                logs = jax.tree.map(lambda v: jnp.where(keep, v, 0.0), logs)
+                return c_kept, logs
+
+            return jax.lax.scan(inner, carry, jnp.arange(gap))
+
+        assign_scan = jax.jit(
+            lambda carry, outs: jax.lax.scan(outer, carry, outs)
+        )
+        (params, opt_state), h = assign_scan(
+            (params, opt_state), jnp.arange(n_outer)
+        )
+        h = jax.tree.map(lambda v: v.reshape(-1)[: remaining if pad else None], h)
+        history.append(h)
+
+    hist = (
+        jax.tree.map(lambda *xs: jnp.concatenate(xs), *history)
+        if len(history) > 1
+        else history[0]
+    )
+    return params, hist
+
+
+def fit_base(key, params, cfg, cano_pc, pc_list, cano_idx=0, flow_ctx=None):
+    """Relaxation-stage fit (reference `--model=base`)."""
+    from reart_tpu.models.base_model import base_forward
+
+    cano = jnp.asarray(cano_pc, jnp.float32)
+    fwd = lambda p, k, tau: base_forward(p, cano, k, tau)
+    return fit(
+        key, fwd, params, cfg, cano, pc_list, cano_idx,
+        flow_ctx=flow_ctx, two_group_opt=True,
+    )
+
+
+def fit_kinematic(key, params, state, cfg, pc_list, cano_idx=0, flow_ctx=None):
+    """Projection-stage fit (reference `--model=kinematic`): same loss stack,
+    Adam over all params at trans_lr (run_robot.py:150-151)."""
+    from reart_tpu.models.kinematic import kinematic_forward
+
+    fwd = lambda p, k, tau: kinematic_forward(p, state, state.cano_pc)
+    return fit(
+        key, fwd, params, cfg, state.cano_pc, pc_list, cano_idx,
+        flow_ctx=flow_ctx, two_group_opt=False,
+    )

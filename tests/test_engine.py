@@ -1,0 +1,106 @@
+"""End-to-end tests of the fit engine on a synthetic 2-part articulated toy.
+
+Checks capability, not RNG parity: the relaxation fit must drive the recon
+loss down and recover an approximately-rigid 2-part motion; the assignment
+phase must run fully compiled (no host LAP) and keep improving the energy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reart_tpu.models.base_model import base_forward, init_base_params
+from reart_tpu.train import FitConfig, FlowContext, fit_base
+
+
+def make_toy(t_frames=4, n=256, seed=0):
+    """Two rigid boxes; the second rotates about the z-axis hinge at x=0."""
+    rng = np.random.RandomState(seed)
+    half = n // 2
+    left = rng.uniform([-1.0, -0.25, -0.25], [-0.2, 0.25, 0.25], (half, 3))
+    right = rng.uniform([0.2, -0.25, -0.25], [1.0, 0.25, 0.25], (half, 3))
+    cano = np.concatenate([left, right]).astype(np.float32)
+    labels = np.concatenate([np.zeros(half), np.ones(half)]).astype(np.int32)
+
+    frames = []
+    for i in range(1, t_frames):
+        ang = 0.3 * i
+        rot = np.array(
+            [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+            dtype=np.float32,
+        )
+        moved = cano.copy()
+        moved[half:] = moved[half:] @ rot.T
+        frames.append(moved)
+    return cano, np.stack(frames), labels
+
+
+@pytest.fixture(scope="module")
+def toy():
+    return make_toy()
+
+
+def test_fit_base_recon_phase(toy):
+    cano, pc_list, _ = toy
+    key = jax.random.PRNGKey(0)
+    params = init_base_params(key, num_parts=4, pose_len=pc_list.shape[0])
+    cfg = FitConfig(n_iter=200, use_assign_loss=False, start_tau=2.0, end_tau=1.0)
+    fitted, hist = fit_base(key, params, cfg, cano, pc_list)
+    assert hist["total_loss"].shape == (200,)
+    first, last = float(hist["total_loss"][0]), float(hist["total_loss"][-1])
+    assert last < 0.25 * first, (first, last)
+
+
+def test_fit_base_assign_phase(toy):
+    cano, pc_list, _ = toy
+    key = jax.random.PRNGKey(1)
+    params = init_base_params(key, num_parts=4, pose_len=pc_list.shape[0])
+    cfg = FitConfig(
+        n_iter=120, use_assign_loss=True, assign_iter=60, assign_gap=5,
+        downsample=4, start_tau=2.0, end_tau=1.0,
+    )
+    fitted, hist = fit_base(key, params, cfg, cano, pc_list)
+    assert hist["total_loss"].shape == (120,)
+    # assignment phase populated and decreasing overall
+    ass = hist["ass_loss"][60:]
+    assert float(ass[0]) > 0.0
+    assert float(ass[-1]) < float(ass[0])
+    # recon term inactive in assignment phase (robot config: not always_recon)
+    assert float(hist["recon_loss"][61]) == 0.0
+
+
+def test_fit_base_with_flow_ctx(toy):
+    cano, pc_list, labels = toy
+    key = jax.random.PRNGKey(2)
+    # perfect flow supervision from GT correspondences on consecutive frames
+    complete = np.concatenate([cano[None], pc_list], axis=0)
+    pc_refs = [complete[i] for i in range(complete.shape[0] - 1)]
+    flow_refs = [complete[i + 1] - complete[i] for i in range(complete.shape[0] - 1)]
+    flow_ctx = FlowContext.from_lists(pc_refs, flow_refs)
+    params = init_base_params(key, num_parts=4, pose_len=pc_list.shape[0])
+    cfg = FitConfig(n_iter=150, use_flow_loss=True, start_tau=2.0, end_tau=1.0)
+    fitted, hist = fit_base(key, params, cfg, cano, pc_list, flow_ctx=flow_ctx)
+    assert float(hist["flow_loss"][0]) > 0.0
+    assert float(hist["total_loss"][-1]) < 0.5 * float(hist["total_loss"][0])
+
+
+def test_fit_recovers_two_parts(toy):
+    """After a full fit the dominant two predicted parts should align with the
+    GT left/right split (Rand-index style check via best-part purity)."""
+    cano, pc_list, labels = toy
+    key = jax.random.PRNGKey(3)
+    params = init_base_params(key, num_parts=4, pose_len=pc_list.shape[0])
+    cfg = FitConfig(
+        n_iter=400, use_assign_loss=True, assign_iter=200, assign_gap=5,
+        start_tau=2.0, end_tau=0.5,
+    )
+    fitted, _ = fit_base(key, params, cfg, cano, pc_list)
+    _, seg, _ = base_forward(fitted, jnp.asarray(cano), key, tau=0.5)
+    seg = np.asarray(seg)
+    # each GT part should be dominated by a single predicted label
+    purity = []
+    for g in (0, 1):
+        _, counts = np.unique(seg[labels == g], return_counts=True)
+        purity.append(counts.max() / counts.sum())
+    assert min(purity) > 0.85, purity

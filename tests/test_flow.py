@@ -1,0 +1,116 @@
+"""Tests for descriptor matching (SNN / SMNN / mutual-NN) against the
+reference's torch implementation re-run as an oracle (utils/flow_utils.py)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from reart_tpu.flow import (
+    build_flow_context,
+    compute_corr_masks,
+    find_mutual_correspondences,
+    match_smnn,
+    match_snn,
+)
+from reart_tpu.train.engine import FAR
+
+
+def torch_match_snn(desc1, desc2, th=0.9):
+    dm = torch.cdist(desc1, desc2)
+    vals, idxs_in_2 = torch.topk(dm, 2, dim=1, largest=False)
+    ratio = vals[:, 0] / vals[:, 1]
+    mask = ratio <= th
+    idxs_in1 = torch.arange(0, idxs_in_2.size(0))[mask]
+    idxs_in_2 = idxs_in_2[:, 0][mask]
+    return ratio[mask], torch.stack([idxs_in1, idxs_in_2], dim=1)
+
+
+def torch_match_smnn(desc1, desc2, th=0.9):
+    """The reference's mutual filter (flow_utils.py:48-100), condensed."""
+    dists1, idx1 = torch_match_snn(desc1, desc2, th)
+    dists2, idx2 = torch_match_snn(desc2, desc1, th)
+    if len(dists1) == 0 or len(dists2) == 0:
+        return torch.empty(0), torch.empty(0, 2, dtype=torch.long)
+    idx2 = idx2.flip(1)
+    idxs_dm = torch.cdist(idx1.float(), idx2.float(), p=1.0)
+    m1 = idxs_dm.min(dim=1)[0] < 1e-8
+    m2 = idxs_dm.min(dim=0)[0] < 1e-8
+    good1, good2 = idx1[m1], idx2[m2]
+    d1, d2 = dists1[m1], dists2[m2]
+    o1 = torch.argsort(good1[:, 0])
+    o2 = torch.argsort(good2[:, 0])
+    return torch.max(d1[o1], d2[o2]), good1[o1]
+
+
+@pytest.fixture
+def descs():
+    rng = np.random.RandomState(0)
+    d1 = rng.randn(64, 16).astype(np.float32)
+    # half the rows of desc2 are perturbed copies -> strong matches
+    d2 = rng.randn(64, 16).astype(np.float32)
+    d2[:32] = d1[:32] + 0.01 * rng.randn(32, 16)
+    return d1, d2
+
+
+class TestSnn:
+    def test_matches_reference(self, descs):
+        d1, d2 = descs
+        ratio, idx, valid = match_snn(jnp.asarray(d1), jnp.asarray(d2))
+        ref_dists, ref_idx = torch_match_snn(torch.from_numpy(d1), torch.from_numpy(d2))
+        ours_src = np.nonzero(np.asarray(valid))[0]
+        np.testing.assert_array_equal(ours_src, ref_idx[:, 0].numpy())
+        np.testing.assert_array_equal(np.asarray(idx)[ours_src], ref_idx[:, 1].numpy())
+        np.testing.assert_allclose(np.asarray(ratio)[ours_src], ref_dists.numpy(), rtol=3e-3, atol=1e-3)
+
+
+class TestSmnn:
+    def test_matches_reference(self, descs):
+        d1, d2 = descs
+        dists, idx, valid = match_smnn(jnp.asarray(d1), jnp.asarray(d2))
+        ref_dists, ref_idx = torch_match_smnn(torch.from_numpy(d1), torch.from_numpy(d2))
+        ours_src = np.nonzero(np.asarray(valid))[0]
+        np.testing.assert_array_equal(ours_src, ref_idx[:, 0].numpy())
+        np.testing.assert_array_equal(np.asarray(idx)[ours_src], ref_idx[:, 1].numpy())
+        np.testing.assert_allclose(
+            np.asarray(dists)[ours_src], ref_dists.numpy(), rtol=3e-3, atol=1e-3
+        )
+
+    def test_identical_descriptors_all_match(self):
+        rng = np.random.RandomState(1)
+        d = rng.randn(32, 8).astype(np.float32)
+        _, idx, valid = match_smnn(jnp.asarray(d), jnp.asarray(d), th=0.99)
+        assert bool(np.all(np.asarray(valid)))
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(32))
+
+
+class TestMutualNN:
+    def test_simple(self):
+        nns01 = jnp.asarray([1, 0, 2])
+        nns10 = jnp.asarray([1, 0, 0])
+        tgt, valid = find_mutual_correspondences(nns01, nns10)
+        # 0<->1 mutual, 1<->0 mutual, 2->2 but 2->0: not mutual
+        np.testing.assert_array_equal(np.asarray(valid), [True, True, False])
+
+
+class TestFlowContext:
+    def test_build_from_gt_identity_features(self):
+        """With positions as descriptors, matching recovers near-identity
+        correspondences for slowly-moving clouds."""
+        rng = np.random.RandomState(2)
+        t, n = 4, 128
+        base = rng.randn(n, 3).astype(np.float32)
+        pcs = np.stack([base + 0.01 * i for i in range(t)])
+        ctx = build_flow_context(pcs, extract_fn=lambda x: x, matching="smnn")
+        assert ctx.pc_ref.shape[0] == t - 1
+        # all real anchors should carry flow ~= 0.01 per axis
+        real = np.asarray(ctx.pc_ref[0, :, 0]) < FAR / 2
+        flows = np.asarray(ctx.flow_ref[0])[real]
+        np.testing.assert_allclose(flows, 0.01, atol=1e-5)
+
+    def test_corr_masks_shapes(self):
+        rng = np.random.RandomState(3)
+        pcs = rng.randn(3, 64, 3).astype(np.float32)
+        idx, valid = compute_corr_masks(pcs, lambda x: x, matching="mnn")
+        assert idx.shape == (2, 64) and valid.shape == (2, 64)
