@@ -1,0 +1,231 @@
+"""PointNet++ MSG correspondence backbone (PointNet2Msg2) in pure jnp.
+
+Parity target: networks/feature_extractor.py:10-49 and the SA/FP modules in
+networks/pointnet2_utils.py:194-348 of the reference. The backbone is used
+FROZEN (rec_freeze zeroes BN momentum, all grads off — feature_extractor.py:
+52-58), so BatchNorm here is inference-mode only (running stats).
+
+Layout is channel-last (B, N, C) — 1x1 Conv2d/Conv1d stacks become dense
+matmuls over the channel axis (MXU), and the per-scale "group -> MLP -> max
+over neighbors" pipeline is one batched einsum + reduce per layer instead of
+NCHW conv plumbing.
+
+`load_torch_state_dict` maps the released `corr_model.pth.tar` checkpoint
+(key map in reference feature_extractor.py:62-86: strip 'net.'/'module.')
+onto this parameter tree for weight-exact inference.
+
+Exact-parity notes vs the reference's dual implementations:
+  * FPS starts at index 0 — the CUDA kernel's convention
+    (src/sampling_gpu.cu:113-115); the reference's python fallback randomizes
+    the start, the CUDA path (what the released model used) does not.
+  * ball query keeps the first `nsample` in-radius indices in point order,
+    padding with the first — both reference paths agree on this.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reart_tpu.ops import ball_query, farthest_point_sample, index_points
+from reart_tpu.ops.distance import pairwise_sqdist
+
+BN_EPS = 1e-5
+
+# (npoint, [radii], [nsamples], in_channel, [mlps]) — feature_extractor.py:19-27
+SA1 = (512, (0.05, 0.1, 0.2), (32, 64, 128), 3,
+       ((32, 32, 64), (64, 64, 128), (64, 96, 128)))
+SA2 = (128, (0.2, 0.4), (64, 128), 128 + 128 + 64,
+       ((128, 128, 256), (128, 196, 256)))
+SA3_MLP = (256, 512, 1024)
+SA3_IN = 512 + 3
+FP3 = (1536, (256, 256))
+FP2 = (576, (256, 128))
+FP1 = (134, (128, 128))
+
+
+def _init_conv_bn(key, c_in, c_out):
+    """torch Conv2d/Conv1d(k=1) + BatchNorm defaults."""
+    k1, k2 = jax.random.split(key)
+    bound = math.sqrt(6.0 / (6.0 * c_in))  # kaiming_uniform(a=sqrt(5))
+    return {
+        "w": jax.random.uniform(k1, (c_in, c_out), minval=-bound, maxval=bound),
+        "b": jax.random.uniform(k2, (c_out,), minval=-1 / math.sqrt(c_in),
+                                maxval=1 / math.sqrt(c_in)),
+        "bn_w": jnp.ones((c_out,)),
+        "bn_b": jnp.zeros((c_out,)),
+        "bn_mean": jnp.zeros((c_out,)),
+        "bn_var": jnp.ones((c_out,)),
+    }
+
+
+def _apply_conv_bn(layer, x, relu: bool = True):
+    """x (..., C_in) -> relu(bn(x @ w + b)) with inference-mode BN."""
+    y = x @ layer["w"] + layer["b"]
+    y = (y - layer["bn_mean"]) / jnp.sqrt(layer["bn_var"] + BN_EPS)
+    y = y * layer["bn_w"] + layer["bn_b"]
+    return jax.nn.relu(y) if relu else y
+
+
+def _init_mlp_stack(key, c_in, channels):
+    layers = []
+    for c_out in channels:
+        key, sub = jax.random.split(key)
+        layers.append(_init_conv_bn(sub, c_in, c_out))
+        c_in = c_out
+    return layers
+
+
+def init_pointnet2msg2(key, out_dim: int = 64):
+    """Random-init parameter tree mirroring PointNet2Msg2's state_dict
+    structure (for testing; real use loads the torch checkpoint)."""
+    keys = jax.random.split(key, 8)
+    params = {
+        "sa1": [_init_mlp_stack(keys[0], SA1[3] + 3, m) for m in SA1[4]],
+        "sa2": [_init_mlp_stack(keys[1], SA2[3] + 3, m) for m in SA2[4]],
+        "sa3": _init_mlp_stack(keys[2], SA3_IN, SA3_MLP),
+        "fp3": _init_mlp_stack(keys[3], FP3[0], FP3[1]),
+        "fp2": _init_mlp_stack(keys[4], FP2[0], FP2[1]),
+        "fp1": _init_mlp_stack(keys[5], FP1[0], FP1[1]),
+        "head": _init_conv_bn(keys[6], 128, out_dim),
+    }
+    return params
+
+
+def _sa_msg(blocks, npoint, radii, nsamples, xyz, points):
+    """Multi-scale-grouping set abstraction (pointnet2_utils.py:239-295).
+
+    xyz (B, N, 3), points (B, N, D) -> (new_xyz (B, S, 3), feats (B, S, sumD')).
+    Grouping order preserved: cat([points, xyz_norm]) — MSG concatenates
+    features FIRST (pointnet2_utils.py:282), unlike plain SA.
+    """
+    fps_idx = farthest_point_sample(xyz, npoint)
+    new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
+    outs = []
+    for block, radius, k in zip(blocks, radii, nsamples):
+        gidx = ball_query(radius, k, xyz, new_xyz)  # (B, S, K)
+        gxyz = index_points(xyz, gidx) - new_xyz[:, :, None, :]
+        gpts = index_points(points, gidx)
+        feat = jnp.concatenate([gpts, gxyz], axis=-1)  # (B, S, K, D+3)
+        for layer in block:
+            feat = _apply_conv_bn(layer, feat)
+        outs.append(jnp.max(feat, axis=2))  # (B, S, D')
+    return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+def _sa_group_all(block, xyz, points):
+    """Global set abstraction (pointnet2_utils.py:173-191, 194-236 group_all
+    branch): cat([xyz, points]) — raw xyz FIRST here."""
+    feat = jnp.concatenate([xyz, points], axis=-1)[:, None]  # (B, 1, N, 3+D)
+    for layer in block:
+        feat = _apply_conv_bn(layer, feat)
+    new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
+    return new_xyz, jnp.max(feat, axis=2)  # (B, 1, D')
+
+
+def _fp(block, xyz1, xyz2, points1, points2):
+    """Feature propagation (pointnet2_utils.py:298-348): 3-NN inverse-square
+    -distance interpolation (S>1) or broadcast (S==1), concat skip, MLP."""
+    b, n, _ = xyz1.shape
+    s = xyz2.shape[1]
+    if s == 1:
+        interp = jnp.broadcast_to(points2, (b, n, points2.shape[-1]))
+    else:
+        d = pairwise_sqdist(xyz1, xyz2)
+        neg, idx = jax.lax.top_k(-d, 3)
+        recip = 1.0 / (jnp.clip(-neg, min=0.0) + 1e-8)
+        w = recip / jnp.sum(recip, axis=-1, keepdims=True)
+        gathered = index_points(points2, idx)  # (B, N, 3, D)
+        interp = jnp.sum(gathered * w[..., None], axis=2)
+    feat = interp if points1 is None else jnp.concatenate([points1, interp], -1)
+    for layer in block:
+        feat = _apply_conv_bn(layer, feat)
+    return feat
+
+
+def apply_pointnet2msg2(params, xyz: jnp.ndarray) -> jnp.ndarray:
+    """xyz (B, N, 3) -> per-point features (B, N, out_dim).
+
+    The reference takes channel-first (B, 3, N) and returns (B, out_dim, N)
+    (feature_extractor.py:31-49); we are channel-last throughout.
+    """
+    l0_xyz = xyz
+    l0_points = xyz
+    l1_xyz, l1_points = _sa_msg(params["sa1"], SA1[0], SA1[1], SA1[2],
+                                l0_xyz, l0_points)
+    l2_xyz, l2_points = _sa_msg(params["sa2"], SA2[0], SA2[1], SA2[2],
+                                l1_xyz, l1_points)
+    l3_xyz, l3_points = _sa_group_all(params["sa3"], l2_xyz, l2_points)
+    l2_points = _fp(params["fp3"], l2_xyz, l3_xyz, l2_points, l3_points)
+    l1_points = _fp(params["fp2"], l1_xyz, l2_xyz, l1_points, l2_points)
+    l0_points = _fp(params["fp1"], l0_xyz, l1_xyz,
+                    jnp.concatenate([l0_xyz, l0_points], -1), l1_points)
+    return _apply_conv_bn(params["head"], l0_points)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint interop
+# ---------------------------------------------------------------------------
+
+def _convert_conv_bn(sd, conv_key, bn_key):
+    w = np.asarray(sd[f"{conv_key}.weight"])  # (out, in, 1[, 1])
+    w = w.reshape(w.shape[0], w.shape[1]).T  # -> (in, out)
+    return {
+        "w": jnp.asarray(w),
+        "b": jnp.asarray(np.asarray(sd[f"{conv_key}.bias"])),
+        "bn_w": jnp.asarray(np.asarray(sd[f"{bn_key}.weight"])),
+        "bn_b": jnp.asarray(np.asarray(sd[f"{bn_key}.bias"])),
+        "bn_mean": jnp.asarray(np.asarray(sd[f"{bn_key}.running_mean"])),
+        "bn_var": jnp.asarray(np.asarray(sd[f"{bn_key}.running_var"])),
+    }
+
+
+def load_torch_state_dict(state_dict) -> dict:
+    """Map the released corr-model state_dict onto our parameter tree.
+
+    Accepts the raw torch state_dict (tensors or numpy). Key prefixes
+    'net.' / 'module.' are stripped (reference feature_extractor.py:77
+    + DataParallel wrapping at :64).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("net.", "").replace("module.", "")
+        sd[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    def msg_blocks(prefix, mlps):
+        return [
+            [
+                _convert_conv_bn(sd, f"{prefix}.conv_blocks.{i}.{j}",
+                                 f"{prefix}.bn_blocks.{i}.{j}")
+                for j in range(len(mlp))
+            ]
+            for i, mlp in enumerate(mlps)
+        ]
+
+    def plain_stack(prefix, n):
+        return [
+            _convert_conv_bn(sd, f"{prefix}.mlp_convs.{j}", f"{prefix}.mlp_bns.{j}")
+            for j in range(n)
+        ]
+
+    return {
+        "sa1": msg_blocks("sa1", SA1[4]),
+        "sa2": msg_blocks("sa2", SA2[4]),
+        "sa3": plain_stack("sa3", len(SA3_MLP)),
+        "fp3": plain_stack("fp3", len(FP3[1])),
+        "fp2": plain_stack("fp2", len(FP2[1])),
+        "fp1": plain_stack("fp1", len(FP1[1])),
+        "head": _convert_conv_bn(sd, "conv1", "bn1"),
+    }
+
+
+def load_corr_model(path: str) -> dict:
+    """Load the released correspondence checkpoint (feature_extractor.py:62-86)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return load_torch_state_dict(sd)

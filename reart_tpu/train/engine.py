@@ -17,13 +17,17 @@ The engine is model-agnostic: it takes a `forward(params, key, tau)` callable
 returning the (pc_trans_list, seg_argmax, trans_list) contract shared by both
 model stages, so the relaxation (base) and projection (kinematic) fits reuse
 one loss/step/scan implementation.
+
+Compiled programs are cached per (forward_fn, cfg) via `make_fit_fns`, so
+repeated fits over the same shapes (canonical-frame selection sweeps,
+benchmarking) pay compilation once.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +71,7 @@ class FitConfig:
     seg_lr: float = 1e-3
     trans_lr: float = 1e-2
     weight_decay: float = 0.0
+    cano_idx: int = 0
 
 
 class FlowContext(NamedTuple):
@@ -137,58 +142,46 @@ def _complete(pc_trans_list, cano_pc, cano_idx: int):
     )
 
 
-def _blended_flow(pc_trans_list, cano_pc, cano_idx: int, flow_ctx: FlowContext):
-    """Interpolate the reference flows onto the predicted source points of
-    every consecutive pair (reference run_robot.py:195-204, no_grad)."""
-    query_list = _complete(pc_trans_list, cano_pc, cano_idx)[:-1]  # (T-1, N, 3)
+def _flow_term(pc_trans_list, cano_pc, flow_ctx: FlowContext, cfg: FitConfig):
+    """Blend reference flows onto predicted source points (no-grad) and apply
+    the masked flow loss (reference run_robot.py:195-213)."""
+    query_list = _complete(pc_trans_list, cano_pc, cfg.cano_idx)[:-1]  # (T-1, N, 3)
     blended, mask = jax.vmap(
         functools.partial(blend_anchor_motion, return_mask=True)
     )(query_list, flow_ctx.pc_ref, flow_ctx.flow_ref)
-    return jax.lax.stop_gradient(blended), jax.lax.stop_gradient(mask)
-
-
-def _flow_term(pc_trans_list, cano_pc, cano_idx, flow_ctx, cfg: FitConfig):
-    blended, mask = _blended_flow(pc_trans_list, cano_pc, cano_idx, flow_ctx)
-    complete_pred = _complete(pc_trans_list, cano_pc, cano_idx)
+    blended = jax.lax.stop_gradient(blended)
+    mask = jax.lax.stop_gradient(mask)
+    complete_pred = _complete(pc_trans_list, cano_pc, cfg.cano_idx)
     pred_flow = complete_pred[1:] - complete_pred[:-1]
     return cfg.lambda_flow * _flow_loss(
         blended, pred_flow, flow_mask_list=mask, robust=cfg.use_robust_loss
     )
 
 
-def fit(
-    key,
-    forward_fn: ForwardFn,
-    params,
-    cfg: FitConfig,
-    cano_pc,
-    pc_list,
-    cano_idx: int = 0,
-    flow_ctx: FlowContext | None = None,
-    two_group_opt: bool = False,
-    tau_fn=None,
-):
-    """Run the full per-sequence fit. Returns (params, history dict).
+@functools.lru_cache(maxsize=64)
+def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
+                 tau_fn=None):
+    """Build (tx, recon_scan, assign_scan): the jitted phase programs.
 
-    history holds per-iteration float32 scalars: total_loss, recon_loss,
-    ass_loss, flow_loss (zeros where a term is inactive) — the reference's
-    printed `losses` dict (run_robot.py:186-216) in array form.
+    Cached on (forward_fn, cfg) identity — pass a stable forward callable
+    (e.g. a module-level function or a functools.partial of one held by the
+    caller) to reuse compilations across fits.
+
+    recon_scan(params, opt_state, its, key, cano_pc, pc_list, flow_ctx)
+    assign_scan(params, opt_state, outer_idx, key, cano_pc, pc_list,
+                flow_ctx, actx)
+    Both return ((params, opt_state), history-dict of per-iter scalars).
     """
-    cano_pc = jnp.asarray(cano_pc, jnp.float32)
-    pc_list = jnp.asarray(pc_list, jnp.float32)
-    tx = make_optimizer(params, cfg, two_groups=two_group_opt)
-    opt_state = tx.init(params)
     if tau_fn is None:
         tau_fn = functools.partial(
             tau_cosine, max_iter=cfg.n_iter, end_temp=cfg.end_tau,
             start_temp=cfg.start_tau,
         )
 
-    use_assign = cfg.use_assign_loss and cfg.assign_iter < cfg.n_iter
-    n_recon = min(cfg.assign_iter, cfg.n_iter) if use_assign else cfg.n_iter
+    def make_tx(params):
+        return make_optimizer(params, cfg, two_groups=two_group_opt)
 
-    def loss_fn(params, it, perm, actx: AssignContext | None):
-        """it: traced global iteration index. perm is None in the recon phase."""
+    def loss_fn(params, it, key, cano_pc, pc_list, flow_ctx, perm, actx):
         step_key = jax.random.fold_in(key, it)
         tau = tau_fn(it + 1)
         pc_trans_list, seg, trans_list = forward_fn(params, step_key, tau)
@@ -200,13 +193,9 @@ def fit(
             matched = jnp.take_along_axis(
                 actx.pc_tgt, perm[..., None].astype(jnp.int32).repeat(3, -1), axis=1
             )
-            terms["ass_loss"] = cfg.lambda_assign * jnp.sum(
-                (pc_src - matched) ** 2
-            )
+            terms["ass_loss"] = cfg.lambda_assign * jnp.sum((pc_src - matched) ** 2)
         if flow_ctx is not None and cfg.use_flow_loss:
-            terms["flow_loss"] = _flow_term(
-                pc_trans_list, cano_pc, cano_idx, flow_ctx, cfg
-            )
+            terms["flow_loss"] = _flow_term(pc_trans_list, cano_pc, flow_ctx, cfg)
         total = functools.reduce(jnp.add, terms.values())
         terms["total_loss"] = total
         return total, terms
@@ -217,53 +206,49 @@ def fit(
             for k in ("total_loss", "recon_loss", "ass_loss", "flow_loss")
         }
 
-    def step(carry, it, perm=None, actx=None):
+    def step(tx, carry, it, key, cano_pc, pc_list, flow_ctx, perm=None, actx=None):
         params, opt_state = carry
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, it, perm, actx
+            params, it, key, cano_pc, pc_list, flow_ctx, perm, actx
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), log_of(terms)
 
-    history = []
+    @jax.jit
+    def recon_scan(params, opt_state, its, key, cano_pc, pc_list, flow_ctx):
+        tx = make_tx(params)
 
-    # ---- phase 1: recon (+flow) ------------------------------------------
-    if n_recon > 0:
-        recon_scan = jax.jit(
-            lambda carry, its: jax.lax.scan(step, carry, its)
-        )
-        (params, opt_state), h = recon_scan(
-            (params, opt_state), jnp.arange(n_recon)
-        )
-        history.append(h)
+        def body(carry, it):
+            return step(tx, carry, it, key, cano_pc, pc_list, flow_ctx)
 
-    # ---- phase 2: assignment (+flow), LAP recomputed every assign_gap ----
-    if use_assign and cfg.n_iter > n_recon:
-        actx = build_assign_context(cano_pc, pc_list, cfg.downsample)
-        remaining = cfg.n_iter - n_recon
-        gap = max(1, cfg.assign_gap)
-        n_outer = -(-remaining // gap)  # ceil
-        pad = n_outer * gap - remaining  # trailing iters beyond n_iter: masked
+        return jax.lax.scan(body, (params, opt_state), its)
 
-        def solve_perm(params, it):
-            """Recompute the per-frame LAP on the current prediction
-            (reference run_robot.py:165-178, no_grad + scipy/mp-pool)."""
-            step_key = jax.random.fold_in(key, it)
-            pc_trans_list, _, _ = forward_fn(params, step_key, tau_fn(it + 1))
+    gap = max(1, cfg.assign_gap)
+
+    @jax.jit
+    def assign_scan(params, opt_state, outer_its, key, cano_pc, pc_list,
+                    flow_ctx, actx):
+        """outer_its: (n_outer,) global iteration index of each chunk start;
+        each chunk = one LAP solve + `gap` gradient steps (iterations past
+        n_iter are masked no-ops)."""
+        tx = make_tx(params)
+
+        def solve_perm(params, it0):
+            step_key = jax.random.fold_in(key, it0)
+            pc_trans_list, _, _ = forward_fn(params, step_key, tau_fn(it0 + 1))
             pc_src = jax.lax.stop_gradient(pc_trans_list[:, actx.src_idx])
             cost = jnp.sqrt(pairwise_sqdist(pc_src, actx.pc_tgt))
             return auction_lap(cost)
 
-        def outer(carry, outer_idx):
-            params, opt_state = carry
-            it0 = n_recon + outer_idx * gap
+        def outer(carry, it0):
+            params, _ = carry
             perm = solve_perm(params, it0)
 
             def inner(c, j):
                 it = it0 + j
-                # iterations past n_iter (chunk padding) become no-ops
-                c_new, logs = step(c, it, perm=perm, actx=actx)
+                c_new, logs = step(tx, c, it, key, cano_pc, pc_list, flow_ctx,
+                                   perm=perm, actx=actx)
                 keep = it < cfg.n_iter
                 c_kept = jax.tree.map(
                     lambda new, old: jnp.where(keep, new, old), c_new, c
@@ -273,13 +258,54 @@ def fit(
 
             return jax.lax.scan(inner, carry, jnp.arange(gap))
 
-        assign_scan = jax.jit(
-            lambda carry, outs: jax.lax.scan(outer, carry, outs)
+        return jax.lax.scan(outer, (params, opt_state), outer_its)
+
+    return recon_scan, assign_scan
+
+
+def fit(
+    key,
+    forward_fn: ForwardFn,
+    params,
+    cfg: FitConfig,
+    cano_pc,
+    pc_list,
+    flow_ctx: FlowContext | None = None,
+    two_group_opt: bool = False,
+):
+    """Run the full per-sequence fit. Returns (params, history dict).
+
+    history holds per-iteration float32 scalars: total_loss, recon_loss,
+    ass_loss, flow_loss (zeros where a term is inactive) — the reference's
+    printed `losses` dict (run_robot.py:186-216) in array form.
+    """
+    cano_pc = jnp.asarray(cano_pc, jnp.float32)
+    pc_list = jnp.asarray(pc_list, jnp.float32)
+    tx = make_optimizer(params, cfg, two_groups=two_group_opt)
+    opt_state = tx.init(params)
+    recon_scan, assign_scan = make_fit_fns(forward_fn, cfg, two_group_opt)
+
+    use_assign = cfg.use_assign_loss and cfg.assign_iter < cfg.n_iter
+    n_recon = min(cfg.assign_iter, cfg.n_iter) if use_assign else cfg.n_iter
+    history = []
+
+    if n_recon > 0:
+        (params, opt_state), h = recon_scan(
+            params, opt_state, jnp.arange(n_recon), key, cano_pc, pc_list,
+            flow_ctx,
         )
+        history.append(h)
+
+    if use_assign and cfg.n_iter > n_recon:
+        actx = build_assign_context(cano_pc, pc_list, cfg.downsample)
+        remaining = cfg.n_iter - n_recon
+        gap = max(1, cfg.assign_gap)
+        n_outer = -(-remaining // gap)  # ceil
+        outer_its = n_recon + jnp.arange(n_outer) * gap
         (params, opt_state), h = assign_scan(
-            (params, opt_state), jnp.arange(n_outer)
+            params, opt_state, outer_its, key, cano_pc, pc_list, flow_ctx, actx
         )
-        h = jax.tree.map(lambda v: v.reshape(-1)[: remaining if pad else None], h)
+        h = jax.tree.map(lambda v: v.reshape(-1)[:remaining], h)
         history.append(h)
 
     hist = (
@@ -290,25 +316,54 @@ def fit(
     return params, hist
 
 
-def fit_base(key, params, cfg, cano_pc, pc_list, cano_idx=0, flow_ctx=None):
+class _BaseForward:
+    """Hashable stable forward wrapper so make_fit_fns caching works across
+    fits that share shapes (cano selection sweeps, benchmarks)."""
+
+    def __init__(self, cano_pc):
+        from reart_tpu.models.base_model import base_forward
+
+        self._fwd = base_forward
+        self.cano_pc = cano_pc
+        self._key = (cano_pc.shape, str(cano_pc.dtype))
+
+    def __call__(self, params, key, tau):
+        return self._fwd(params, self.cano_pc, key, tau)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _BaseForward) and self._key == other._key
+
+
+class _KinematicForward:
+    def __init__(self, state):
+        from reart_tpu.models.kinematic import kinematic_forward
+
+        self._fwd = kinematic_forward
+        self.state = state
+
+    def __call__(self, params, key, tau):
+        return self._fwd(params, self.state, self.state.cano_pc)
+
+    def __hash__(self):
+        return hash((self.state.cano_pc.shape, self.state.num_parts,
+                     self.state.path_edges.shape))
+
+    def __eq__(self, other):
+        return isinstance(other, _KinematicForward) and self.state is other.state
+
+
+def fit_base(key, params, cfg, cano_pc, pc_list, flow_ctx=None):
     """Relaxation-stage fit (reference `--model=base`)."""
-    from reart_tpu.models.base_model import base_forward
-
     cano = jnp.asarray(cano_pc, jnp.float32)
-    fwd = lambda p, k, tau: base_forward(p, cano, k, tau)
-    return fit(
-        key, fwd, params, cfg, cano, pc_list, cano_idx,
-        flow_ctx=flow_ctx, two_group_opt=True,
-    )
+    return fit(key, _BaseForward(cano), params, cfg, cano, pc_list,
+               flow_ctx=flow_ctx, two_group_opt=True)
 
 
-def fit_kinematic(key, params, state, cfg, pc_list, cano_idx=0, flow_ctx=None):
+def fit_kinematic(key, params, state, cfg, pc_list, flow_ctx=None):
     """Projection-stage fit (reference `--model=kinematic`): same loss stack,
     Adam over all params at trans_lr (run_robot.py:150-151)."""
-    from reart_tpu.models.kinematic import kinematic_forward
-
-    fwd = lambda p, k, tau: kinematic_forward(p, state, state.cano_pc)
-    return fit(
-        key, fwd, params, cfg, state.cano_pc, pc_list, cano_idx,
-        flow_ctx=flow_ctx, two_group_opt=False,
-    )
+    return fit(key, _KinematicForward(state), params, cfg, state.cano_pc,
+               pc_list, flow_ctx=flow_ctx, two_group_opt=False)
