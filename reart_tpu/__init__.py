@@ -34,5 +34,19 @@ import jax as _jax
 # is negligible. Override after import if you know better.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: per-sequence test-time optimization means many
+# short-lived processes compiling the same handful of programs; with remote
+# TPU compile each miss costs tens of seconds. Respect an explicit user dir.
+import os as _os
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache_dir = _os.path.expanduser("~/.cache/reart_tpu_jax")
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError:
+        pass
+
 __version__ = "0.1.0"
 

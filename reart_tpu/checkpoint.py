@@ -1,0 +1,116 @@
+"""Checkpointing and stage hand-off artifacts.
+
+Parity targets (SURVEY §5): the reference saves a torch dict at end of
+training — {state_dict, tau, cano_idx} for base, plus {seg_part, cano_pc,
+edge_index, paths_to_base, reverse_topo[, joint_type_list, ...]} for
+kinematic (run_robot.py:340-356) — and hands off between stages via
+`result.pkl` with schema {pred_cano_part, pred_pose_list, cano_idx,
+joint_connection, **sample} (run_robot.py:323-331).
+
+We persist the SAME logical payload. Format: a pickle of numpy-converted
+pytrees (self-contained, no torch). `save_orbax`/`load_orbax` offer the
+orbax-backed path for production multi-host checkpointing of big fits.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, (jnp.ndarray, np.ndarray)) else x,
+        tree,
+    )
+
+
+def save_checkpoint(path: str, params, tau: float, cano_idx: int,
+                    state=None, extra: dict | None = None) -> None:
+    """Model checkpoint; `state` is a KinematicState for the projection stage
+    (its payload mirrors the reference's non-parameter checkpoint entries)."""
+    payload = {
+        "state_dict": _to_numpy(params),
+        "tau": float(tau),
+        "cano_idx": int(cano_idx),
+    }
+    if state is not None:
+        payload.update({
+            "seg_part": np.asarray(state.seg_part),
+            "cano_pc": np.asarray(state.cano_pc),
+            "edge_index": state.edge_index,
+            "edges": [list(e) for e in state.edges],
+            "reverse_topo": list(state.reverse_topo),
+            "path_edges": np.asarray(state.path_edges),
+            "prismatic_mask": (None if state.prismatic_mask is None
+                               else np.asarray(state.prismatic_mask)),
+            "has_root_trans": state.has_root_trans,
+        })
+    if extra:
+        payload.update(extra)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return payload
+
+
+def restore_kinematic_state(payload: dict):
+    """Rebuild a KinematicState from a kinematic checkpoint payload."""
+    from reart_tpu.models.kinematic import KinematicState
+
+    pris = payload.get("prismatic_mask")
+    return KinematicState(
+        seg_part=jnp.asarray(payload["seg_part"]),
+        cano_pc=jnp.asarray(payload["cano_pc"]),
+        num_parts=int(np.max(payload["seg_part"])) + 1,
+        path_edges=jnp.asarray(payload["path_edges"]),
+        prismatic_mask=None if pris is None else jnp.asarray(pris),
+        edges=tuple(tuple(e) for e in payload["edges"]),
+        reverse_topo=tuple(payload["reverse_topo"]),
+        has_root_trans=bool(payload.get("has_root_trans", False)),
+    )
+
+
+def save_result(path: str, pred_cano_part, pred_pose_list, cano_idx: int,
+                joint_connection, sample: dict) -> None:
+    """Stage hand-off artifact, reference schema (run_robot.py:323-331)."""
+    save_dict = {
+        "pred_cano_part": np.asarray(pred_cano_part),
+        "pred_pose_list": np.asarray(pred_pose_list),
+        "cano_idx": int(cano_idx),
+        "joint_connection": [list(map(int, e)) for e in joint_connection],
+    }
+    save_dict.update(_to_numpy(sample))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(save_dict, f)
+
+
+def load_result(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+# -- orbax-backed variant (multi-host / async, for production fits) ---------
+
+def save_orbax(directory: str, payload) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(directory), _to_numpy(payload), force=True)
+
+
+def load_orbax(directory: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(directory))

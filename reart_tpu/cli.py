@@ -1,0 +1,466 @@
+"""Unified driver: `python run.py {robot,sapien,real} [flags]`.
+
+Capability parity with the reference's three entry points (run_robot.py,
+run_sapien.py, run_real.py) — same flags, same defaults per domain, same
+artifacts (result.pkl / result.txt / model checkpoint / seg.html /
+structure.html / recon.gif / gt.gif / input.gif) — behind ONE CLI instead of
+three near-identical scripts.
+
+Domain differences (reference sources cited inline):
+  * robot: GT poses + graph; corr-model SMNN flow; recon loss replaced by
+    the assignment loss after assign_iter; revolute-only joints; retarget IK;
+    TED; energy includes the group term (run_robot.py).
+  * sapien: precomputed/provider flow; recon always on; root-aligned
+    transforms for merge/MST/build_graph; prismatic joints + root transform;
+    T x T full-flow EPE, per-/multi-scan RI; energy has no group term
+    (run_sapien.py).
+  * real: corr-model flow with dataset-local normalization; recon always on;
+    prismatic allowed; no GT -> recon/energy only (run_real.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# argument surface (reference run_*.py argparse blocks)
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="reart_tpu driver")
+    sub = parser.add_subparsers(dest="domain", required=True)
+    for domain in ("robot", "sapien", "real"):
+        p = sub.add_parser(domain)
+        _common_args(p, domain)
+    return parser
+
+
+def _common_args(p: argparse.ArgumentParser, domain: str):
+    robot = domain == "robot"
+    p.add_argument("--manual_seed", default=2, type=int)
+    p.add_argument("--resume", type=str, nargs="+", metavar="PATH")
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--snapshot_gap", default=100 if robot else 10, type=int)
+    p.add_argument("--cano_idx", default=0, type=int)
+    p.add_argument("--num_points", default=4096, type=int)
+    p.add_argument("--seq_path", default={
+        "robot": "data/robot/nao", "sapien": "", "real": "data/real/toy",
+    }[domain], type=str)
+    p.add_argument("--start_tau", default=5.0 if robot else 1.0, type=float)
+    p.add_argument("--end_tau", default=1.0, type=float)
+    p.add_argument("--seg_lr", default=1e-3, type=float)
+    p.add_argument("--trans_lr", default=1e-2, type=float)
+    p.add_argument("--weight_decay", default=0.0, type=float)
+    p.add_argument("--n_iter", default=15000 if robot else 2000, type=int)
+    p.add_argument("--assign_iter", default=5000 if robot else 1000, type=int)
+    p.add_argument("--num_parts", default=20 if robot else 10, type=int)
+    p.add_argument("--model", default="base", choices=["base", "kinematic"])
+    p.add_argument("--base_result_path", default=None, type=str)
+    p.add_argument("--use_flow_loss", action="store_true")
+    p.add_argument("--use_robust_loss", action="store_true")
+    p.add_argument("--use_assign_loss", action="store_true")
+    p.add_argument("--downsample", default=4 if domain != "sapien" else 1, type=int)
+    p.add_argument("--assign_gap", default=5, type=int)
+    p.add_argument("--lambda_assign", default=3e-1, type=float)
+    p.add_argument("--lambda_flow", default=1.0, type=float)
+    p.add_argument("--lambda_joint", default=100.0 if robot else 1e-1, type=float)
+    p.add_argument("--cano_dist_thr", default=1e-2, type=float)
+    p.add_argument("--merge_thr", default=3e-2, type=float)
+    p.add_argument("--merge_it", default=2 if robot else 3, type=int)
+    p.add_argument("--save_root", default="exp", type=str)
+    p.add_argument("--save_vis", action="store_true")
+    if robot:
+        p.add_argument("--normalize_file",
+                       default="data/category_normalize_scale.pkl", type=str)
+    if domain in ("robot", "real"):
+        p.add_argument("--corr_model_path",
+                       default="pretrained/corr_model.pth.tar", type=str)
+    if domain == "sapien":
+        p.add_argument("--sapien_base_folder", default="data/mbs-sapien", type=str)
+        p.add_argument("--sapien_idx", default=212, type=int)
+        p.add_argument("--flow_file", default=None, type=str,
+                       help="precomputed flow .npz (msync provider boundary)")
+
+
+def fit_config(args, domain: str):
+    from reart_tpu.train import FitConfig
+
+    return FitConfig(
+        n_iter=args.n_iter,
+        use_assign_loss=args.use_assign_loss,
+        use_flow_loss=args.use_flow_loss,
+        use_robust_loss=getattr(args, "use_robust_loss", False),
+        always_recon=domain != "robot",  # run_sapien.py:174 / run_real.py:175
+        assign_iter=args.assign_iter,
+        assign_gap=args.assign_gap,
+        downsample=args.downsample,
+        lambda_assign=args.lambda_assign,
+        lambda_flow=args.lambda_flow,
+        start_tau=args.start_tau,
+        end_tau=args.end_tau,
+        seg_lr=args.seg_lr,
+        trans_lr=args.trans_lr,
+        weight_decay=args.weight_decay,
+        cano_idx=args.cano_idx,
+    )
+
+
+# ---------------------------------------------------------------------------
+# setup helpers
+# ---------------------------------------------------------------------------
+
+def load_dataset(args, domain: str):
+    if domain == "robot":
+        from reart_tpu.data.robot import RobotSequence
+
+        return RobotSequence(args.seq_path, args.num_points, args.cano_idx)
+    if domain == "sapien":
+        from reart_tpu.data.sapien import SapienDataset
+
+        return SapienDataset(args.sapien_base_folder, args.cano_idx)
+    from reart_tpu.data.real import RealSequence
+
+    return RealSequence(args.seq_path, args.num_points, args.cano_idx)
+
+
+def setup_flow(args, domain: str, dataset, sample):
+    """Build the FlowContext (one-time, run_robot.py:64-84 equivalents)."""
+    if not args.use_flow_loss:
+        return None
+    from reart_tpu.flow import build_flow_context
+
+    complete = sample["complete_pc_list"]
+    if domain == "sapien":
+        # msync flow-provider boundary: precomputed flows anchor every source
+        # point with its predicted flow (confidence-masked)
+        from reart_tpu.sapien_eval import load_precomputed_flow
+        from reart_tpu.train import FlowContext
+
+        assert args.flow_file is not None, (
+            "sapien flow loss needs --flow_file (precomputed msync flows)")
+        flow, conf = load_precomputed_flow(args.flow_file)
+        pc_refs, flow_refs = [], []
+        for t in range(flow.shape[0]):
+            keep = conf[t] > 0.5
+            pc_refs.append(complete[t][keep])
+            flow_refs.append(flow[t][keep])
+        return FlowContext.from_lists(pc_refs, flow_refs)
+
+    # robot / real: frozen corr model + SMNN matching
+    from reart_tpu.models.pointnet2 import apply_pointnet2msg2, load_corr_model
+
+    corr_params = load_corr_model(args.corr_model_path)
+    extract_fn = lambda x: apply_pointnet2msg2(corr_params, x)
+    if domain == "robot":
+        from reart_tpu.data.common import load_normalize_dict
+
+        cat = args.seq_path.rstrip("/").split("/")[-1]
+        info = load_normalize_dict(args.normalize_file)[cat]
+        centroid, scale = info["centroid"], float(info["scale"])
+    else:  # real: dataset-local normalization (run_real.py:67)
+        centroid, scale = dataset.centroid, float(dataset.scale)
+    return build_flow_context(complete, extract_fn, centroid=centroid,
+                              scale=scale, matching="smnn")
+
+
+def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
+    """Base-result -> kinematic model construction
+    (run_robot.py:104-124, run_sapien.py:95-127)."""
+    from reart_tpu.graph import merging_wrapper, mst_wrapper, extract_kinematic
+    from reart_tpu.graph.kinematics import build_graph
+    from reart_tpu.models.kinematic import (
+        init_kinematic_params,
+        make_kinematic_state,
+    )
+    from reart_tpu.sapien_eval import compute_align_trans
+
+    assert args.cano_idx == result["cano_idx"]
+    seg_part = jnp.asarray(result["pred_cano_part"])
+    trans_list = jnp.asarray(result["pred_pose_list"], jnp.float32)
+    root_aligned = domain != "robot"
+
+    if "joint_connection" in result:
+        joint_connection = np.asarray(result["joint_connection"])
+    else:
+        graph_trans = trans_list
+        if root_aligned:
+            root_part = int(np.bincount(np.asarray(seg_part)).argmax())
+            graph_trans = compute_align_trans(trans_list, trans_list[:, root_part])
+        seg_part = jnp.asarray(merging_wrapper(
+            seg_part, graph_trans, cano_pc, args.merge_thr))
+        joint_connection = mst_wrapper(
+            seg_part, graph_trans, cano_pc, num_fps=20,
+            cano_dist_thr=args.cano_dist_thr, joint_cost_weight=args.lambda_joint)
+
+    new_seg, new_trans, new_conn = extract_kinematic(
+        seg_part, trans_list, joint_connection)
+    t_frames = new_trans.shape[0]
+
+    if domain == "robot":
+        g, root, axis, moment, theta, edge_index = build_graph(
+            new_conn, new_trans, revolute_only=True)
+        state = make_kinematic_state(new_seg, cano_pc, list(g.edges()), root)
+        params = init_kinematic_params(
+            t_frames, state.num_edges, axis_list=axis, moment_list=moment,
+            theta_list=theta)
+    else:
+        root_part = int(np.bincount(np.asarray(new_seg)).argmax())
+        root_trans = jnp.asarray(new_trans)[:, root_part]
+        align_trans = compute_align_trans(jnp.asarray(new_trans), root_trans)
+        (g, root, axis, moment, theta, distance, edge_index,
+         joint_type_list) = build_graph(
+            new_conn, align_trans, revolute_only=False, root_part=root_part,
+            return_joint_type=True)
+        state = make_kinematic_state(new_seg, cano_pc, list(g.edges()), root,
+                                     joint_types=joint_type_list,
+                                     has_root_trans=True)
+        params = init_kinematic_params(
+            t_frames, state.num_edges, axis_list=axis, moment_list=moment,
+            theta_list=theta, distance_list=distance, root_trans=root_trans)
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# final snapshot: graph extraction + metrics + artifacts
+# ---------------------------------------------------------------------------
+
+def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
+             params, state, save_dir: str, tau: float):
+    """Everything the reference does at i == n_iter - 1
+    (run_robot.py:224-356 and the sapien/real equivalents)."""
+    from reart_tpu.graph import (
+        denoise_seg_label,
+        extract_kinematic,
+        merging_wrapper,
+        mst_wrapper,
+    )
+    from reart_tpu.graph.costs import compute_root_cost
+    from reart_tpu.models.base_model import compute_pc_transform
+    from reart_tpu import metrics as M
+    from reart_tpu.sapien_eval import compute_align_trans
+    from reart_tpu import checkpoint as ckpt
+    from reart_tpu import viz
+
+    cano_pc = jnp.asarray(sample["cano_pc"], jnp.float32)
+    cano_idx = args.cano_idx
+    seg_part = np.asarray(denoise_seg_label(seg_part, cano_pc, min_num=20))
+    is_kinematic = state is not None
+    root_aligned = domain != "robot"
+
+    def aligned(trans):
+        if not root_aligned:
+            return trans
+        root_part = int(np.bincount(seg_part).argmax())
+        return compute_align_trans(jnp.asarray(trans), jnp.asarray(trans)[:, root_part])
+
+    if not is_kinematic and len(np.unique(seg_part)) > 1:
+        seg_part = np.asarray(merging_wrapper(
+            seg_part, aligned(trans_list), cano_pc, args.merge_thr,
+            n_it=args.merge_it))
+    if is_kinematic:
+        joint_connection = np.asarray([list(e) for e in state.edges])
+    else:
+        joint_connection = mst_wrapper(
+            seg_part, aligned(trans_list), cano_pc, num_fps=20,
+            cano_dist_thr=args.cano_dist_thr,
+            joint_cost_weight=args.lambda_joint)
+    seg_part, trans_list, joint_connection = extract_kinematic(
+        seg_part, trans_list, joint_connection)
+    joint_connection_list = np.asarray(joint_connection).tolist()
+
+    pred_pc = compute_pc_transform(cano_pc, jnp.asarray(trans_list),
+                                   jnp.asarray(seg_part))
+    pred_pc_np = np.asarray(pred_pc)
+    complete_pred = np.concatenate(
+        [pred_pc_np[:cano_idx], np.asarray(cano_pc)[None], pred_pc_np[cano_idx:]], 0)
+
+    results = {}
+    lines = []
+
+    has_gt = "gt_flow_list" in sample
+    if has_gt:
+        pred_flow = complete_pred[1:] - complete_pred[:-1]
+        if domain == "robot":
+            epe, acc1, acc2, angle = M.eval_flow(
+                pred_flow, sample["gt_flow_list"], 0.005, 0.01)
+            epe *= 100.0
+            results.update(flow_epe=epe, flow_acc5=acc1, flow_acc10=acc2,
+                           flow_angle=angle)
+        ri = M.eval_seg(jnp.asarray(sample["gt_cano_part"]), jnp.asarray(seg_part))
+        results["seg_ri"] = ri
+        mse = np.sqrt(((complete_pred - sample["complete_gt_pc_list"]) ** 2
+                       ).sum(-1)).mean(1).mean()
+        results["recon_err"] = float(mse) * (100.0 if domain == "robot" else 1.0)
+
+    cd = M.compute_chamfer_list(pred_pc_np, sample["pc_list"], reduction="mean")
+    results["cd_err"] = cd * (100.0 if domain == "robot" else 1.0)
+
+    if domain == "sapien" and "gt_full_flow" in sample:
+        from reart_tpu.sapien_eval import (
+            compute_full_flow, eval_full_flow, seg_propagation_list)
+
+        seg_list = seg_propagation_list(sample["pc_list"], pred_pc_np, seg_part)
+        eye = jnp.eye(4)[None, None].repeat(trans_list.shape[1], 1)
+        complete_trans = jnp.concatenate(
+            [jnp.asarray(trans_list)[:cano_idx], eye,
+             jnp.asarray(trans_list)[cano_idx:]], 0)
+        complete_seg = jnp.concatenate(
+            [seg_list[:cano_idx], jnp.asarray(seg_part)[None],
+             seg_list[cano_idx:]], 0)
+        full_flow = compute_full_flow(sample["complete_pc_list"], complete_seg,
+                                      complete_trans)
+        results["full_flow_epe"] = 100.0 * eval_full_flow(
+            full_flow, sample["gt_full_flow"])
+        per_ri = np.mean([
+            M.eval_seg(g, p) for g, p in
+            zip(jnp.asarray(sample["complete_gt_part_list"]), complete_seg)])
+        results["per_scan_ri"] = float(per_ri)
+        results["multi_scan_ri"] = M.eval_seg(
+            jnp.asarray(sample["complete_gt_part_list"]).reshape(-1),
+            complete_seg.reshape(-1))
+
+    # retargeting (robot kinematic only — run_robot.py:286-290)
+    if domain == "robot":
+        if is_kinematic:
+            from reart_tpu.ik import ik
+
+            results["retarget_err"] = ik(
+                dataset, "kinematic", params, state=state, tau=tau,
+                save_dir=save_dir, save_vis=True)
+        else:
+            results["retarget_err"] = 9999.0
+
+        # TED vs GT graph (run_robot.py:296-303)
+        from reart_tpu.data.common import load_gt_graph
+        from reart_tpu.graph.ted import compute_ted, find_root_node
+
+        root_cost = np.asarray(compute_root_cost(jnp.asarray(trans_list)))
+        pred_root = int(np.unique(joint_connection)[root_cost.argmin()])
+        _, gt_edges = load_gt_graph(args.seq_path)
+        results["ted"] = compute_ted(joint_connection_list, pred_root,
+                                     gt_edges, find_root_node(gt_edges))
+
+    # energy (train only — run_robot.py:305-321, run_sapien.py:323-331)
+    if not args.evaluate:
+        energy = M.energy(
+            pred_pc, jnp.asarray(sample["pc_list"], jnp.float32),
+            jnp.asarray(trans_list), jnp.asarray(joint_connection), seg_part,
+            complete_pred_pc_list=jnp.asarray(complete_pred),
+            include_group=domain == "robot")
+        results.update(energy)
+
+        ckpt.save_result(
+            os.path.join(save_dir, "result.pkl"), seg_part, trans_list,
+            cano_idx, joint_connection_list, sample)
+        ckpt.save_checkpoint(
+            os.path.join(save_dir, "model.ckpt.pkl"), params, tau, cano_idx,
+            state=state)
+
+    # artifacts
+    viz.vis_pc_seq(complete_pred, pred_part=seg_part, name="reconstruct",
+                   save_path=os.path.join(save_dir, "recon.gif"))
+    if has_gt:
+        viz.vis_pc_seq(sample["complete_gt_pc_list"],
+                       pred_part=sample["gt_cano_part"], name="gt",
+                       save_path=os.path.join(save_dir, "gt.gif"))
+        viz.vis_pc(np.asarray(cano_pc), seg_part,
+                   gt_part=sample["gt_cano_part"],
+                   save_path=os.path.join(save_dir, "seg.html"))
+    else:
+        viz.vis_pc(np.asarray(cano_pc), seg_part,
+                   save_path=os.path.join(save_dir, "seg.html"))
+    viz.vis_structure(np.asarray(cano_pc), seg_part, joint_connection_list,
+                      save_path=os.path.join(save_dir, "structure.html"))
+
+    for k, v in results.items():
+        lines.append(f"{k}: {v:.3f}")
+    with open(os.path.join(save_dir, "result.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    domain = args.domain
+    np.random.seed(args.manual_seed)
+
+    # honor JAX_PLATFORMS even when a TPU plugin self-registers via
+    # sitecustomize and would otherwise ignore the env var
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and plat != "axon":
+        jax.config.update("jax_platforms", plat)
+
+    from reart_tpu import checkpoint as ckpt
+    from reart_tpu import viz
+    from reart_tpu.models.base_model import base_forward, init_base_params
+    from reart_tpu.models.kinematic import kinematic_forward
+    from reart_tpu.train import fit_base, fit_kinematic
+
+    dataset = load_dataset(args, domain)
+    sample = dataset[args.sapien_idx] if domain == "sapien" else dataset[0]
+    seq_name = (str(args.sapien_idx) if domain == "sapien"
+                else args.seq_path.rstrip("/").split("/")[-1])
+    save_dir = os.path.join(args.save_root, seq_name)
+    os.makedirs(save_dir, exist_ok=True)
+
+    viz.vis_pc_seq(sample["complete_pc_list"], name="input",
+                   save_path=os.path.join(save_dir, "input.gif"))
+
+    cano_pc = jnp.asarray(sample["cano_pc"], jnp.float32)
+    pc_list = jnp.asarray(sample["pc_list"], jnp.float32)
+    flow_ctx = setup_flow(args, domain, dataset, sample)
+    cfg = fit_config(args, domain)
+    key = jax.random.PRNGKey(args.manual_seed)
+    tau = args.end_tau
+
+    state = None
+    if args.model == "base":
+        params = init_base_params(key, args.num_parts, pc_list.shape[0])
+        if args.resume:
+            payload = ckpt.load_checkpoint(args.resume[0])
+            params = jax.tree.map(jnp.asarray, payload["state_dict"])
+            tau = payload["tau"]
+    else:
+        if args.resume:
+            payload = ckpt.load_checkpoint(args.resume[0])
+            params = jax.tree.map(jnp.asarray, payload["state_dict"])
+            state = ckpt.restore_kinematic_state(payload)
+            tau = payload.get("tau", tau)
+        else:
+            assert args.base_result_path is not None
+            result = ckpt.load_result(args.base_result_path)
+            params, state = build_kinematic_from_result(
+                args, domain, cano_pc, result)
+
+    if not args.evaluate:
+        if args.model == "base":
+            params, hist = fit_base(key, params, cfg, cano_pc, pc_list,
+                                    flow_ctx=flow_ctx)
+        else:
+            params, hist = fit_kinematic(key, params, state, cfg, pc_list,
+                                         flow_ctx=flow_ctx)
+        print(f"fit done: final total_loss {float(hist['total_loss'][-1]):.3f}")
+        tau = args.end_tau
+
+    # final forward (reference i == n_iter - 1 re-forward, run_robot.py:229-230)
+    if args.model == "base":
+        _, seg_part, trans_list = base_forward(params, cano_pc, key, tau=1.0)
+    else:
+        _, seg_part, trans_list = kinematic_forward(params, state, cano_pc)
+
+    finalize(args, domain, dataset, sample, np.asarray(seg_part),
+             np.asarray(trans_list), params, state, save_dir, tau)
+    print("all done!")

@@ -148,7 +148,7 @@ def zhang_shasha(tree1, tree2, ins: float = 1.0, dele: float = 1.0,
 
 
 def compute_ted(pred_edges, pred_root, gt_edges, gt_root,
-                traverse: bool = True, max_traversals: int | None = 20000,
+                traverse: bool = True, max_traversals: int | None = 500,
                 verbose: bool = False) -> float:
     """Min ordered TED over BFS child-permutation orderings of both trees
     (ted_utils.py:127-156). With traverse=False, a single canonical
@@ -179,14 +179,19 @@ def compute_ted(pred_edges, pred_root, gt_edges, gt_root,
     pred_trees = list({repr(t): t for t in pred_trees}.values())
     gt_trees = list({repr(t): t for t in gt_trees}.values())
 
+    # size difference is a lower bound on TED — stop once reached
+    n_pred = len({a for e in pred_edges for a in e} or {pred_root})
+    n_gt = len({a for e in gt_edges for a in e} or {gt_root})
+    lower = float(abs(n_pred - n_gt))
+
     best = float("inf")
     for p in pred_trees:
         for g in gt_trees:
             best = min(best, zhang_shasha(p, g))
-            if best == 0:
+            if best <= lower:
                 if verbose:
-                    print("final tree edit distance 0")
-                return 0.0
+                    print(f"final tree edit distance {best}")
+                return best
     if verbose:
         print(f"final tree edit distance {best}")
     return best

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from reart_tpu.losses import group_temporal_err
-from reart_tpu.ops.assignment import auction_lap, assignment_cost
+from reart_tpu.ops.assignment import assignment_cost
 from reart_tpu.ops.distance import nearest_neighbor, pairwise_sqdist
 
 
@@ -81,12 +81,15 @@ def compute_chamfer_list(points_set1, points_set2, reduction: str = "sum"):
 def compute_ass_err(pc_src_list, pc_tgt_list) -> float:
     """Mean optimal-assignment point error (utils/model_utils.py:92-103):
     per frame, Hungarian on the EUCLIDEAN cdist, then the mean SQUARED
-    distance over matched pairs; the LAPs run on-device (auction) instead of
-    a multiprocessing pool."""
+    distance over matched pairs. This is a once-per-fit model-selection
+    metric, so it uses the EXACT batched JV solver (native C++, replacing
+    the reference's multiprocessing pool) on the host."""
+    from reart_tpu.native import lap_solve_batch
+
     src = jnp.asarray(pc_src_list, jnp.float32)
     tgt = jnp.asarray(pc_tgt_list, jnp.float32)
     sq = pairwise_sqdist(src, tgt)
-    perm = auction_lap(jnp.sqrt(sq))
+    perm = jnp.asarray(lap_solve_batch(np.sqrt(np.asarray(sq))))
     sq_matched = assignment_cost(sq, perm)  # (T,) summed squared dists
     return float(jnp.mean(sq_matched) / src.shape[1])
 

@@ -62,6 +62,29 @@ class KinematicState:
         return {f"{c}_{p}": i for i, (c, p) in enumerate(self.edges)}
 
 
+def _state_flatten(s: "KinematicState"):
+    leaves = (s.seg_part, s.cano_pc, s.path_edges, s.prismatic_mask)
+    aux = (s.num_parts, s.edges, s.reverse_topo, s.has_root_trans)
+    return leaves, aux
+
+
+def _state_unflatten(aux, leaves):
+    seg_part, cano_pc, path_edges, prismatic_mask = leaves
+    num_parts, edges, reverse_topo, has_root_trans = aux
+    return KinematicState(
+        seg_part=seg_part, cano_pc=cano_pc, num_parts=num_parts,
+        path_edges=path_edges, prismatic_mask=prismatic_mask, edges=edges,
+        reverse_topo=reverse_topo, has_root_trans=has_root_trans,
+    )
+
+
+# pytree registration: array state are leaves, tree topology is static —
+# a KinematicState can be passed straight through jit/vmap/scan
+jax.tree_util.register_pytree_node(
+    KinematicState, _state_flatten, _state_unflatten
+)
+
+
 def compile_tree(edges, root: int, num_parts: int):
     """Host-side: child->parent edge list -> (path_edges, reverse_topo).
 

@@ -1,0 +1,92 @@
+"""SAPIEN-domain helpers: root alignment, T x T full-flow construction and
+evaluation, segmentation propagation.
+
+Parity targets: utils/model_utils.py:121-126 (compute_align_trans) and
+utils/sapien_utils.py:39-77,111-117. All batched jnp; the reference's
+per-view Python loops collapse into one vmap over views.
+
+The reference's msync FlowNet/ConfNet (external repo, sapien_utils.py:80-108)
+is mirrored as a pluggable flow provider boundary: `load_precomputed_flow`
+reads (T-1, N, 3) flows + (T-1, N) confidences from an .npz, matching the
+shape contract of compute_flow_list — sapien parity does not require porting
+msync (SURVEY §7.7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reart_tpu.geometry import inverse_transformation
+from reart_tpu.models.base_model import compute_pc_transform
+from reart_tpu.ops import knn_transfer_labels
+
+
+def compute_align_trans(trans_list: jnp.ndarray, root_trans: jnp.ndarray):
+    """Left-multiply by the root part's inverse trajectory
+    (utils/model_utils.py:121-126). trans_list (T, P, 4, 4),
+    root_trans (T, 4, 4)."""
+    return inverse_transformation(root_trans)[:, None] @ trans_list
+
+
+def compute_rel_trans(complete_trans_list: jnp.ndarray, src_idx: int):
+    """cano->tgt poses re-based onto view src: src2tgt = cano2tgt @ cano2src^-1
+    (sapien_utils.py:39-48)."""
+    src = complete_trans_list[src_idx]  # (P, 4, 4)
+    return complete_trans_list @ inverse_transformation(src)[None]
+
+
+def compute_full_flow(complete_pc_list, complete_seg_list, complete_trans_list):
+    """(T*T, N, 3) flows between every ordered view pair
+    (sapien_utils.py:50-62), row-major over (view_i, view_j)."""
+    complete_pc_list = jnp.asarray(complete_pc_list, jnp.float32)
+    complete_trans_list = jnp.asarray(complete_trans_list, jnp.float32)
+    complete_seg_list = jnp.asarray(complete_seg_list, jnp.int32)
+    t = complete_pc_list.shape[0]
+
+    def per_view(pc_i, seg_i, i):
+        trans_i = compute_rel_trans(complete_trans_list, i)  # traced gather ok
+        moved = compute_pc_transform(pc_i, trans_i, seg_i)  # (T, N, 3)
+        return moved - moved[i][None]  # flow to every j
+
+    # index into complete_trans_list must be per-view: vmap over i
+    flows = jax.vmap(
+        lambda pc, seg, i: per_view(pc, seg, i)
+    )(complete_pc_list, complete_seg_list, jnp.arange(t))
+    return flows.reshape(t * t, *flows.shape[2:])
+
+
+def eval_full_flow(full_flow, gt_full_flow) -> float:
+    """Mean EPE over all ordered pairs excluding i==j (sapien_utils.py:65-77)."""
+    full_flow = np.asarray(full_flow)
+    gt = np.asarray(gt_full_flow)
+    n = int(np.sqrt(full_flow.shape[0]))
+    epes = []
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            k = j + i * n
+            epes.append(
+                float(np.linalg.norm(full_flow[k] - gt[k], axis=-1).mean())
+            )
+    return float(np.mean(epes))
+
+
+def seg_propagation_list(query_pc_list, ref_pc_list, ref_seg):
+    """1-NN label transfer per frame (sapien_utils.py:111-117)."""
+    return jax.vmap(
+        lambda q, r: knn_transfer_labels(q, r, jnp.asarray(ref_seg))
+    )(jnp.asarray(query_pc_list, jnp.float32),
+      jnp.asarray(ref_pc_list, jnp.float32))
+
+
+def load_precomputed_flow(path: str):
+    """Flow-provider boundary for the msync FlowNet (sapien_utils.py:94-108):
+    an .npz with `flow` (T-1, N, 3) and optional `conf` (T-1, N)."""
+    data = np.load(path)
+    flow = data["flow"].astype(np.float32)
+    conf = data["conf"].astype(np.float32) if "conf" in data else np.ones(
+        flow.shape[:2], np.float32)
+    return flow, conf

@@ -72,6 +72,10 @@ class FitConfig:
     trans_lr: float = 1e-2
     weight_decay: float = 0.0
     cano_idx: int = 0
+    # max iterations per device dispatch: bounds single-execution wall time
+    # (long-running executions trip TPU-runtime watchdogs) and sets the
+    # granularity at which the host can observe progress
+    dispatch_chunk: int = 250
 
 
 class FlowContext(NamedTuple):
@@ -216,49 +220,68 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
         return (params, opt_state), log_of(terms)
 
     @jax.jit
-    def recon_scan(params, opt_state, its, key, cano_pc, pc_list, flow_ctx):
+    def recon_scan(params, opt_state, its, limit, key, cano_pc, pc_list,
+                   flow_ctx):
+        """One bounded dispatch of recon-phase steps; iterations >= limit
+        (chunk padding) are masked no-ops."""
         tx = make_tx(params)
 
         def body(carry, it):
-            return step(tx, carry, it, key, cano_pc, pc_list, flow_ctx)
+            c_new, logs = step(tx, carry, it, key, cano_pc, pc_list, flow_ctx)
+            keep = it < limit
+            c_kept = jax.tree.map(
+                lambda new, old: jnp.where(keep, new, old), c_new, carry
+            )
+            logs = jax.tree.map(lambda v: jnp.where(keep, v, 0.0), logs)
+            return c_kept, logs
 
         return jax.lax.scan(body, (params, opt_state), its)
 
     gap = max(1, cfg.assign_gap)
 
     @jax.jit
-    def assign_scan(params, opt_state, outer_its, key, cano_pc, pc_list,
-                    flow_ctx, actx):
-        """outer_its: (n_outer,) global iteration index of each chunk start;
-        each chunk = one LAP solve + `gap` gradient steps (iterations past
-        n_iter are masked no-ops)."""
+    def assign_scan(params, opt_state, price, outer_its, key, cano_pc,
+                    pc_list, flow_ctx, actx):
+        """One bounded dispatch of assignment-phase chunks. outer_its:
+        (n_outer,) global iteration index of each chunk start; each chunk =
+        one LAP solve + `gap` gradient steps (iterations past n_iter are
+        masked no-ops).
+
+        Auction prices are carried ACROSS chunks and dispatches: between
+        recomputes the predicted clouds barely move, so warm-started solves
+        converge in a handful of bounded sweeps (this is what makes an
+        on-device LAP competitive with the reference's host Hungarian
+        protocol)."""
         tx = make_tx(params)
 
-        def solve_perm(params, it0):
+        def solve_perm(params, it0, price):
             step_key = jax.random.fold_in(key, it0)
             pc_trans_list, _, _ = forward_fn(params, step_key, tau_fn(it0 + 1))
             pc_src = jax.lax.stop_gradient(pc_trans_list[:, actx.src_idx])
             cost = jnp.sqrt(pairwise_sqdist(pc_src, actx.pc_tgt))
-            return auction_lap(cost)
+            return auction_lap(cost, eps_min=1e-4, num_scales=3,
+                               scale_factor=10.0, max_sweeps=150,
+                               price=price, return_price=True)
 
         def outer(carry, it0):
-            params, _ = carry
-            perm = solve_perm(params, it0)
+            params, _, price = carry
+            perm, price = solve_perm(params, it0, price)
 
             def inner(c, j):
                 it = it0 + j
-                c_new, logs = step(tx, c, it, key, cano_pc, pc_list, flow_ctx,
-                                   perm=perm, actx=actx)
+                (p2, o2), logs = step(tx, c[:2], it, key, cano_pc, pc_list,
+                                      flow_ctx, perm=perm, actx=actx)
                 keep = it < cfg.n_iter
                 c_kept = jax.tree.map(
-                    lambda new, old: jnp.where(keep, new, old), c_new, c
+                    lambda new, old: jnp.where(keep, new, old), (p2, o2), c[:2]
                 )
                 logs = jax.tree.map(lambda v: jnp.where(keep, v, 0.0), logs)
-                return c_kept, logs
+                return (*c_kept, c[2]), logs
 
-            return jax.lax.scan(inner, carry, jnp.arange(gap))
+            return jax.lax.scan(inner, (params, carry[1], price),
+                                jnp.arange(gap))
 
-        return jax.lax.scan(outer, (params, opt_state), outer_its)
+        return jax.lax.scan(outer, (params, opt_state, price), outer_its)
 
     return recon_scan, assign_scan
 
@@ -287,13 +310,20 @@ def fit(
 
     use_assign = cfg.use_assign_loss and cfg.assign_iter < cfg.n_iter
     n_recon = min(cfg.assign_iter, cfg.n_iter) if use_assign else cfg.n_iter
+    chunk = max(1, cfg.dispatch_chunk)
     history = []
 
     if n_recon > 0:
-        (params, opt_state), h = recon_scan(
-            params, opt_state, jnp.arange(n_recon), key, cano_pc, pc_list,
-            flow_ctx,
-        )
+        # bounded dispatches of `chunk` iterations, one compiled program
+        hs = []
+        for start in range(0, n_recon, chunk):
+            its = start + jnp.arange(chunk)
+            (params, opt_state), h = recon_scan(
+                params, opt_state, its, n_recon, key, cano_pc, pc_list,
+                flow_ctx,
+            )
+            hs.append(h)
+        h = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_recon], *hs)
         history.append(h)
 
     if use_assign and cfg.n_iter > n_recon:
@@ -301,11 +331,20 @@ def fit(
         remaining = cfg.n_iter - n_recon
         gap = max(1, cfg.assign_gap)
         n_outer = -(-remaining // gap)  # ceil
-        outer_its = n_recon + jnp.arange(n_outer) * gap
-        (params, opt_state), h = assign_scan(
-            params, opt_state, outer_its, key, cano_pc, pc_list, flow_ctx, actx
-        )
-        h = jax.tree.map(lambda v: v.reshape(-1)[:remaining], h)
+        outer_chunk = max(1, chunk // gap)
+        t_frames, num_fps = actx.pc_tgt.shape[:2]
+        price = jnp.zeros((t_frames, num_fps), jnp.float32)
+        hs = []
+        for start in range(0, n_outer, outer_chunk):
+            # pad the last dispatch to the common shape; padded outers are
+            # fully masked by the it < n_iter check inside
+            outer_its = n_recon + (start + jnp.arange(outer_chunk)) * gap
+            (params, opt_state, price), h = assign_scan(
+                params, opt_state, price, outer_its, key, cano_pc, pc_list,
+                flow_ctx, actx,
+            )
+            hs.append(jax.tree.map(lambda v: v.reshape(-1), h))
+        h = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:remaining], *hs)
         history.append(h)
 
     hist = (

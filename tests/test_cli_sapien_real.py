@@ -1,0 +1,122 @@
+"""End-to-end driver tests for the sapien and real domains on synthetic data
+(reference-format directory layouts)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from reart_tpu.cli import main as cli_main
+
+
+def rotz4(a):
+    m = np.eye(4)
+    m[0, 0], m[0, 1] = np.cos(a), -np.sin(a)
+    m[1, 0], m[1, 1] = np.sin(a), np.cos(a)
+    return m
+
+
+@pytest.fixture(scope="module")
+def sapien_dir(tmp_path_factory):
+    """2-part object, 3 views, camera slightly rotated per view."""
+    root = tmp_path_factory.mktemp("sapien")
+    (root / "data").mkdir()
+    rng = np.random.RandomState(0)
+    n_per = 100
+    body = rng.uniform([-0.5, -0.5, -0.2], [0.5, 0.5, 0.2], (n_per, 3))
+    lid = rng.uniform([-0.5, 0.3, 0.2], [0.5, 0.5, 0.4], (n_per, 3))
+    cano = np.concatenate([body, lid]).astype(np.float32)
+    segm1 = np.repeat([1, 2], n_per)  # 1-based like the dataset
+
+    n_views = 3
+    pcs, segms = [], []
+    trans = {"cam": [], 1: [], 2: []}
+    for v in range(n_views):
+        cam = rotz4(0.05 * v)
+        m_body = np.eye(4)
+        m_lid = rotz4(0.3 * v)
+        trans["cam"].append(cam)
+        trans[1].append(m_body)
+        trans[2].append(m_lid)
+        pc = cano.copy()
+        homo = np.concatenate([pc, np.ones((len(pc), 1))], 1)
+        world = homo.copy()
+        world[:n_per] = homo[:n_per] @ m_body.T
+        world[n_per:] = homo[n_per:] @ m_lid.T
+        # view in camera frame: cam^-1 @ world
+        pc_v = (world @ np.linalg.inv(cam).T)[:, :3]
+        pcs.append(pc_v.astype(np.float32))
+        segms.append(segm1)
+    np.savez(root / "data" / "000000.npz", pc=np.stack(pcs),
+             segm=np.stack(segms), trans=np.asarray(trans, dtype=object))
+    with open(root / "meta.json", "w") as f:
+        json.dump({"test": [0]}, f)
+    return str(root)
+
+
+def test_sapien_dataset_gt_consistency(sapien_dir):
+    """The GT reconstruction (cano moved by gt_pose_list) must coincide with
+    the recorded per-view clouds."""
+    from reart_tpu.data.sapien import SapienDataset
+
+    s = SapienDataset(sapien_dir, cano_idx=0)[0]
+    np.testing.assert_allclose(
+        s["complete_gt_pc_list"], s["complete_pc_list"], atol=1e-4)
+    assert s["gt_full_flow"].shape[0] == 9
+    # flow from a view to itself is zero
+    np.testing.assert_allclose(s["gt_full_flow"][0], 0.0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sapien_driver_e2e(sapien_dir, tmp_path):
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "sapien", "--sapien_base_folder", sapien_dir, "--sapien_idx", "0",
+        "--save_root", save_root, "--n_iter", "300", "--assign_iter", "150",
+        "--use_assign_loss", "--num_parts", "4", "--start_tau", "1",
+        "--end_tau", "0.5", "--snapshot_gap", "1000",
+    ])
+    seq_dir = os.path.join(save_root, "0")
+    txt = open(os.path.join(seq_dir, "result.txt")).read()
+    assert "full_flow_epe" in txt and "per_scan_ri" in txt \
+        and "multi_scan_ri" in txt
+    ri = float([l for l in txt.splitlines()
+                if l.startswith("multi_scan_ri")][0].split(":")[1])
+    assert ri > 0.7, txt
+    with open(os.path.join(seq_dir, "result.pkl"), "rb") as f:
+        result = pickle.load(f)
+    assert "gt_full_flow" in result  # sample keys preserved in hand-off
+
+
+@pytest.mark.slow
+def test_real_driver_e2e(tmp_path):
+    """Real scans: mesh frames, no GT — recon/energy only."""
+    mesh_dir = tmp_path / "scans"
+    mesh_dir.mkdir()
+    # two quads hinged: crude two-frame "articulation" via vertex motion
+    for i in range(3):
+        a = 0.25 * i
+        c, s = np.cos(a), np.sin(a)
+        verts = [
+            (0, 0, 0), (1, 0, 0), (1, 0.5, 0), (0, 0.5, 0),       # base quad
+            (c * -1, 0, s * -1), (0, 0, 0), (0, 0.5, 0), (c * -1, 0.5, s * -1),
+        ]
+        lines = [f"v {x} {y} {z}" for x, y, z in verts]
+        lines += ["f 1 2 3", "f 1 3 4", "f 5 6 7", "f 5 7 8"]
+        (mesh_dir / f"scan_{i}.obj").write_text("\n".join(lines) + "\n")
+
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "real", "--seq_path", str(mesh_dir), "--save_root", save_root,
+        "--n_iter", "150", "--num_parts", "3", "--num_points", "256",
+        "--start_tau", "1", "--end_tau", "0.5", "--snapshot_gap", "1000",
+    ])
+    seq_dir = os.path.join(save_root, "scans")
+    txt = open(os.path.join(seq_dir, "result.txt")).read()
+    # no GT -> no flow/seg metrics, but recon + energy present
+    assert "cd_err" in txt and "total_err" in txt
+    assert "seg_ri" not in txt
+    for artifact in ("result.pkl", "seg.html", "structure.html", "recon.gif"):
+        assert os.path.exists(os.path.join(seq_dir, artifact)), artifact

@@ -104,3 +104,20 @@ def test_fit_recovers_two_parts(toy):
         _, counts = np.unique(seg[labels == g], return_counts=True)
         purity.append(counts.max() / counts.sum())
     assert min(purity) > 0.85, purity
+
+
+def test_fit_chunked_dispatch_equivalence(toy):
+    """Chunked dispatches must produce the same trajectory as one dispatch
+    (masking correctness at chunk boundaries)."""
+    cano, pc_list, _ = toy
+    key = jax.random.PRNGKey(5)
+    params = init_base_params(key, num_parts=4, pose_len=pc_list.shape[0])
+    kw = dict(n_iter=90, use_assign_loss=True, assign_iter=40, assign_gap=5,
+              start_tau=2.0, end_tau=1.0)
+    _, h_one = fit_base(key, params, FitConfig(dispatch_chunk=1000, **kw),
+                        cano, pc_list)
+    _, h_chk = fit_base(key, params, FitConfig(dispatch_chunk=32, **kw),
+                        cano, pc_list)
+    np.testing.assert_allclose(np.asarray(h_one["total_loss"]),
+                               np.asarray(h_chk["total_loss"]),
+                               rtol=1e-4, atol=1e-5)
