@@ -77,6 +77,8 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     p.add_argument("--merge_it", default=2 if robot else 3, type=int)
     p.add_argument("--save_root", default="exp", type=str)
     p.add_argument("--save_vis", action="store_true")
+    p.add_argument("--trace_dir", default=None, type=str,
+                   help="write a jax.profiler device trace of the fit here")
     if robot:
         p.add_argument("--normalize_file",
                        default="data/category_normalize_scale.pkl", type=str)
@@ -445,13 +447,20 @@ def main(argv=None):
             params, state = build_kinematic_from_result(
                 args, domain, cano_pc, result)
 
+    from reart_tpu.profiling import device_trace, phase_report, phase_timer
+    import contextlib
+
     if not args.evaluate:
-        if args.model == "base":
-            params, hist = fit_base(key, params, cfg, cano_pc, pc_list,
-                                    flow_ctx=flow_ctx)
-        else:
-            params, hist = fit_kinematic(key, params, state, cfg, pc_list,
-                                         flow_ctx=flow_ctx)
+        trace = (device_trace(args.trace_dir) if args.trace_dir
+                 else contextlib.nullcontext())
+        with phase_timer("fit"), trace:
+            if args.model == "base":
+                params, hist = fit_base(key, params, cfg, cano_pc, pc_list,
+                                        flow_ctx=flow_ctx)
+            else:
+                params, hist = fit_kinematic(key, params, state, cfg, pc_list,
+                                             flow_ctx=flow_ctx)
+            jax.block_until_ready(hist)
         print(f"fit done: final total_loss {float(hist['total_loss'][-1]):.3f}")
         tau = args.end_tau
 
@@ -461,6 +470,8 @@ def main(argv=None):
     else:
         _, seg_part, trans_list = kinematic_forward(params, state, cano_pc)
 
-    finalize(args, domain, dataset, sample, np.asarray(seg_part),
-             np.asarray(trans_list), params, state, save_dir, tau)
+    with phase_timer("finalize"):
+        finalize(args, domain, dataset, sample, np.asarray(seg_part),
+                 np.asarray(trans_list), params, state, save_dir, tau)
+    print(f"[phases] {phase_report()}")
     print("all done!")

@@ -59,6 +59,75 @@ def assignment_loss(
     return jnp.sum((pc_src - matched) ** 2)
 
 
+def structure_loss(rel_trans_list, axis, moment, theta, distance, edge_list):
+    """Screw-consistency loss: per-edge relative transforms vs the transform
+    reconstructed from the (no-grad) time-mean screw with hard joint typing
+    by mean |theta| vs mean |d|. (loss.py:30-56 — defined in the reference
+    but not called by its drivers; kept for capability parity.)
+
+    rel_trans_list (T, P, P, 4, 4); axis/moment (T, P, P, 3); theta/distance
+    (T, P, P); edge_list (E, 2).
+    """
+    from reart_tpu.geometry import (
+        screw_param_to_exponential_coordinates,
+        transform_from_exponential_coordinates,
+    )
+    from reart_tpu.graph.costs import compute_mean_screw_param, frobenius_cost
+
+    edge_list = jnp.asarray(edge_list)
+    e0, e1 = edge_list[:, 0], edge_list[:, 1]
+    sel_rel = rel_trans_list[:, e0, e1]
+    sel_axis = axis[:, e0, e1]
+    sel_moment = moment[:, e0, e1]
+    sel_theta = theta[:, e0, e1]
+    sel_dist = distance[:, e0, e1]
+    t, e = sel_theta.shape
+
+    mean_axis, mean_moment = compute_mean_screw_param(
+        sel_axis, sel_moment, sel_theta, sel_dist
+    )
+    mean_axis = jnp.broadcast_to(mean_axis[None], (t, e, 3))
+    mean_moment = jnp.broadcast_to(mean_moment[None], (t, e, 3))
+    pris = (jnp.mean(jnp.abs(sel_dist), 0) > jnp.mean(jnp.abs(sel_theta), 0))[None]
+    theta_eff = jnp.where(pris, 1e-6, sel_theta)
+    dist_eff = jnp.where(pris, sel_dist, 1e-6)
+    log_t = screw_param_to_exponential_coordinates(
+        mean_axis, mean_moment, theta_eff, dist_eff
+    )
+    target = jax.lax.stop_gradient(transform_from_exponential_coordinates(log_t))
+    return jnp.sum(frobenius_cost(sel_rel, target))
+
+
+def compute_connection_loss(cano_pc, seg_part, joint_connection,
+                            pc_trans_list, k: int = 10):
+    """Joint-contact consistency: the k closest cross-part point pairs (in
+    the canonical frame) must stay together over time. (loss.py:59-79 —
+    unused by the reference drivers; host-level loop over edges since part
+    sizes are data-dependent.)"""
+    from reart_tpu.ops.distance import chamfer
+
+    seg_part = jnp.asarray(seg_part)
+    loss = jnp.zeros((), pc_trans_list.dtype)
+    import numpy as np
+
+    seg_np = np.asarray(seg_part)
+    for edge in np.asarray(joint_connection):
+        src_idx_all = np.nonzero(seg_np == edge[0])[0]
+        tgt_idx_all = np.nonzero(seg_np == edge[1])[0]
+        src_pc = cano_pc[src_idx_all]
+        tgt_pc = cano_pc[tgt_idx_all]
+        d_s2t, nn_tgt = chamfer(src_pc, tgt_pc, return_index=True)
+        neg_top, src_sel = jax.lax.top_k(-d_s2t, k)
+        tgt_sel = nn_tgt[src_sel]
+        raw_src = jnp.asarray(src_idx_all)[src_sel]
+        raw_tgt = jnp.asarray(tgt_idx_all)[tgt_sel]
+        d = jnp.sum(
+            (pc_trans_list[:, raw_src] - pc_trans_list[:, raw_tgt]) ** 2, axis=2
+        ).mean(axis=1)
+        loss = loss + jnp.sum(d)
+    return loss
+
+
 def group_temporal_err(pc_list: jnp.ndarray, seg_part: jnp.ndarray,
                        num_parts: int) -> jnp.ndarray:
     """Max-over-parts mean squared spread of part points around the part

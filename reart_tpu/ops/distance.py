@@ -36,18 +36,27 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int):
     Returns (dists, idx): euclidean (NOT squared) distances (..., N, k) in
     ascending order and neighbor indices — the knn_cuda.KNN contract the
     reference relies on for inverse-distance weighting (flow_utils.py:158-163).
+
+    3-D point sets route through the fused Pallas kernel on TPU (large
+    shapes); everything else takes the materialized-matrix jnp path.
     """
+    if query.shape[-1] == 3 and ref.shape[-1] == 3:
+        from reart_tpu.ops.pallas_nn import nn_topk
+
+        sq, idx = nn_topk(query, ref, k)
+        return jnp.sqrt(sq), idx
     sq = pairwise_sqdist(query, ref)
-    if k == 1:
-        idx = jnp.argmin(sq, axis=-1)
-        d = jnp.take_along_axis(sq, idx[..., None], axis=-1)
-        return jnp.sqrt(d), idx[..., None]
     neg_d, idx = jax.lax.top_k(-sq, k)
     return jnp.sqrt(jnp.clip(-neg_d, min=0.0)), idx
 
 
 def nearest_neighbor(query: jnp.ndarray, ref: jnp.ndarray):
     """1-NN: returns (sq_dists (..., N), idx (..., N))."""
+    if query.shape[-1] == 3 and ref.shape[-1] == 3:
+        from reart_tpu.ops.pallas_nn import nn_topk
+
+        sq, idx = nn_topk(query, ref, 1)
+        return sq[..., 0], idx[..., 0]
     sq = pairwise_sqdist(query, ref)
     idx = jnp.argmin(sq, axis=-1)
     d = jnp.take_along_axis(sq, idx[..., None], axis=-1)[..., 0]
@@ -79,14 +88,13 @@ def chamfer(
         N == M — true throughout the pipeline)
       * return_index: additionally the NN indices (fwd[, bwd]).
     """
-    idx_fwd = jax.lax.stop_gradient(
-        jnp.argmin(pairwise_sqdist(src, tgt), axis=-1)
-    )
-    d_fwd = _gathered_sqdist(src, tgt, idx_fwd)
+    if not reverse or bidirectional:
+        _, idx_fwd = nearest_neighbor(jax.lax.stop_gradient(src),
+                                      jax.lax.stop_gradient(tgt))
+        d_fwd = _gathered_sqdist(src, tgt, idx_fwd)
     if bidirectional or reverse:
-        idx_bwd = jax.lax.stop_gradient(
-            jnp.argmin(pairwise_sqdist(tgt, src), axis=-1)
-        )
+        _, idx_bwd = nearest_neighbor(jax.lax.stop_gradient(tgt),
+                                      jax.lax.stop_gradient(src))
         d_bwd = _gathered_sqdist(tgt, src, idx_bwd)
     if bidirectional:
         if return_index:
