@@ -79,6 +79,13 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     p.add_argument("--save_vis", action="store_true")
     p.add_argument("--trace_dir", default=None, type=str,
                    help="write a jax.profiler device trace of the fit here")
+    # reference-surface flags that are no-ops here (the LAP runs on-device /
+    # logging is already quiet), accepted for drop-in compatibility
+    p.add_argument("--use_nproc", action="store_true",
+                   help="no-op (reference: multiprocessing Hungarian pool)")
+    p.add_argument("--use_cuda", default=1, type=int, help="no-op")
+    p.add_argument("--silence", action="store_true",
+                   help="suppress per-phase prints (reference run_real flag)")
     if robot:
         p.add_argument("--normalize_file",
                        default="data/category_normalize_scale.pkl", type=str)

@@ -239,13 +239,18 @@ def fk(params, state: KinematicState, theta_list=None) -> jnp.ndarray:
     return pose
 
 
-def kinematic_forward(params, state: KinematicState, input_pc, theta_list=None):
+def kinematic_forward(params, state: KinematicState, input_pc,
+                      theta_list=None, seg_part=None):
     """Full forward: 1-NN seg transfer, FK, optional root premultiply, blend.
 
     Returns (pc_trans_list (T, N, 3), seg_part (N,), trans_list (T, P, 4, 4))
     — the reference KinematicModel.forward contract (model.py:137-166).
+    Pass `seg_part` to skip the 1-NN transfer (training always forwards the
+    canonical cloud itself, where the transfer is the identity — the
+    reference pays a 4096^2 kNN per iteration for it, model.py:138).
     """
-    seg_part = knn_transfer_labels(input_pc, state.cano_pc, state.seg_part)
+    if seg_part is None:
+        seg_part = knn_transfer_labels(input_pc, state.cano_pc, state.seg_part)
     trans_list = fk(params, state, theta_list=theta_list)
     if "root_6d" in params:
         root_r = rotation_6d_to_matrix(params["root_6d"])  # (T, 3, 3)

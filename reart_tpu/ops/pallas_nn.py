@@ -34,42 +34,58 @@ TILE_N = 256
 TILE_M = 1024
 
 
+def _ksmallest(vals, idxs, k: int):
+    """k smallest of each row, ascending, ties to the lowest POSITION (which
+    callers arrange to mean lowest original index). Pure min-reductions —
+    lax.top_k has no Pallas TPU lowering.
+
+    vals (R, W) float32, idxs (R, W) int32 -> ((R, k), (R, k))."""
+    r, w = vals.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    out_v, out_i = [], []
+    v = vals
+    for _ in range(k):
+        m = jnp.min(v, axis=1, keepdims=True)  # (R, 1)
+        first = jnp.min(jnp.where(v == m, pos, w), axis=1, keepdims=True)
+        sel = pos == first  # exactly one per row
+        out_v.append(m[:, 0])
+        out_i.append(jnp.sum(jnp.where(sel, idxs, 0), axis=1))
+        v = jnp.where(sel, jnp.inf, v)
+    return jnp.stack(out_v, axis=1), jnp.stack(out_i, axis=1)
+
+
 def _nn_kernel(k: int, q_ref, r_ref, d_ref, i_ref):
     """Grid (B, N/TN, M/TM); M innermost so the (1, k, TN) output blocks are
     revisited and act as running top-k accumulators."""
     j = pl.program_id(2)
     q = q_ref[0]  # (TN, 3)
     r = r_ref[0]  # (TM, 3)
+    tn, tm = q.shape[0], r.shape[0]
 
     # squared distances without a K=3 matmul: 3 broadcasted VPU passes
-    d = jnp.zeros((q.shape[0], r.shape[0]), jnp.float32)
+    d = jnp.zeros((tn, tm), jnp.float32)
     for c in range(3):
         diff = q[:, c:c + 1] - r[:, c].reshape(1, -1)
         d = d + diff * diff
 
-    # tile-local top-k (ascending distance). lax.top_k is on negated values;
-    # ties then prefer the lower index, matching the jnp path.
-    neg_d, idx = jax.lax.top_k(-d, k)  # (TN, k)
-    idx = idx + j * r.shape[0]
+    # tile-local k smallest (position == column index -> lowest-index ties)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + j * tm
+    tile_d, tile_i = _ksmallest(d, cols, k)  # (TN, k)
 
     @pl.when(j == 0)
     def _():
-        d_ref[0] = -neg_d.T  # (k, TN)
-        i_ref[0] = idx.T.astype(jnp.int32)
+        d_ref[0] = tile_d.T  # (k, TN)
+        i_ref[0] = tile_i.T.astype(jnp.int32)
 
     @pl.when(j > 0)
     def _():
-        # merge running top-k with tile top-k: 2k candidates -> k
-        run_d = d_ref[0].T  # (TN, k)
-        run_i = i_ref[0].T
-        cand_d = jnp.concatenate([run_d, -neg_d], axis=1)  # (TN, 2k)
-        cand_i = jnp.concatenate([run_i, idx], axis=1)
-        # stable ascending selection with index tiebreak: top_k on negated
-        # distances breaks ties by position, and running entries (lower
-        # original indices) come first in the concatenation.
-        neg_best, pos = jax.lax.top_k(-cand_d, k)
-        d_ref[0] = (-neg_best).T
-        i_ref[0] = jnp.take_along_axis(cand_i, pos, axis=1).T.astype(jnp.int32)
+        # merge running top-k with tile top-k: 2k candidates -> k. Running
+        # entries come first, so position tie-break keeps lower indices.
+        cand_d = jnp.concatenate([d_ref[0].T, tile_d], axis=1)  # (TN, 2k)
+        cand_i = jnp.concatenate([i_ref[0].T, tile_i], axis=1)
+        best_d, best_i = _ksmallest(cand_d, cand_i, k)
+        d_ref[0] = best_d.T
+        i_ref[0] = best_i.T.astype(jnp.int32)
 
 
 def _pad_points(x, tile):
@@ -140,8 +156,12 @@ def nn_topk(query: jnp.ndarray, ref: jnp.ndarray, k: int):
         return jnp.clip(-neg_d, min=0.0), idx
 
     batch = query.shape[:-2]
-    q = query.reshape((-1,) + query.shape[-2:])
-    r = jnp.broadcast_to(ref, batch + ref.shape[-2:]).reshape(
-        (-1,) + ref.shape[-2:])
+    # Neighbor search is NON-DIFFERENTIABLE by design (indices are integers;
+    # every differentiable consumer recomputes distances by gathering): cut
+    # tangents here so pallas_call is never asked for a JVP rule.
+    q = jax.lax.stop_gradient(query).reshape((-1,) + query.shape[-2:])
+    r = jax.lax.stop_gradient(
+        jnp.broadcast_to(ref, batch + ref.shape[-2:])
+    ).reshape((-1,) + ref.shape[-2:])
     d, i = nn_topk_pallas(q, r, k)
     return d.reshape(batch + d.shape[-2:]), i.reshape(batch + i.shape[-2:])

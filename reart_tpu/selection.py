@@ -1,0 +1,75 @@
+"""Energy-based canonical-frame and model selection.
+
+The reference README (README.md:60) tells the USER to re-run the whole fit
+once per candidate canonical frame and keep the lowest-energy result — a
+manual sweep of full processes. Here it is one call: candidate fits reuse the
+cached compiled programs (same shapes -> zero recompilation), and the
+energies come from the same ass+screw(+group) formula the drivers print
+(run_robot.py:306-321).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def fit_energy(params, cfg, cano_pc, pc_list, cano_idx, seg_part, trans_list,
+               sample_complete, include_group: bool = True) -> dict:
+    """Energy of a finished fit (run_robot.py:306-314)."""
+    from reart_tpu.graph import extract_kinematic, merging_wrapper, mst_wrapper
+    from reart_tpu.metrics import energy
+    from reart_tpu.models.base_model import compute_pc_transform
+
+    seg = np.asarray(seg_part)
+    if len(np.unique(seg)) > 1:
+        seg = np.asarray(merging_wrapper(seg, trans_list, cano_pc, 3e-2))
+    conn = mst_wrapper(seg, trans_list, cano_pc)
+    seg, trans, conn = extract_kinematic(seg, trans_list, conn)
+    pred_pc = compute_pc_transform(cano_pc, jnp.asarray(trans), jnp.asarray(seg))
+    complete_pred = jnp.concatenate(
+        [pred_pc[:cano_idx], cano_pc[None], pred_pc[cano_idx:]], axis=0
+    )
+    return energy(pred_pc, pc_list, jnp.asarray(trans), jnp.asarray(conn), seg,
+                  complete_pred_pc_list=complete_pred,
+                  include_group=include_group)
+
+
+def select_canonical_frame(key, complete_pc_list, cfg, num_parts: int,
+                           candidates=None, include_group: bool = True,
+                           verbose: bool = True):
+    """Fit once per candidate canonical frame, return (best_idx, energies).
+
+    complete_pc_list: (T, N, 3). Candidate fits share one compiled program
+    (identical shapes). Flow context is omitted during selection (the
+    reference's selection criterion is the energy, which has no flow term).
+    """
+    from reart_tpu.models.base_model import base_forward, init_base_params
+    from reart_tpu.train import fit_base
+
+    complete = jnp.asarray(complete_pc_list, jnp.float32)
+    t = complete.shape[0]
+    if candidates is None:
+        candidates = range(t)
+    energies = {}
+    for cano_idx in candidates:
+        cano_pc = complete[cano_idx]
+        pc_list = jnp.concatenate(
+            [complete[:cano_idx], complete[cano_idx + 1:]], axis=0
+        )
+        import dataclasses
+
+        cfg_i = dataclasses.replace(cfg, cano_idx=int(cano_idx))
+        params = init_base_params(key, num_parts, t - 1)
+        fitted, _ = fit_base(key, params, cfg_i, cano_pc, pc_list)
+        _, seg, trans = base_forward(fitted, cano_pc, key, tau=1.0)
+        e = fit_energy(fitted, cfg_i, cano_pc, pc_list, cano_idx,
+                       np.asarray(seg), np.asarray(trans), complete,
+                       include_group=include_group)
+        energies[int(cano_idx)] = e
+        if verbose:
+            print(f"cano {cano_idx}: total_err {e['total_err']:.3f}")
+    best = min(energies, key=lambda i: energies[i]["total_err"])
+    return best, energies

@@ -384,7 +384,9 @@ class _KinematicForward:
         self.state = state
 
     def __call__(self, params, key, tau):
-        return self._fwd(params, self.state, self.state.cano_pc)
+        # training forwards the canonical cloud: seg transfer is the identity
+        return self._fwd(params, self.state, self.state.cano_pc,
+                         seg_part=self.state.seg_part)
 
     def __hash__(self):
         return hash((self.state.cano_pc.shape, self.state.num_parts,

@@ -82,7 +82,7 @@ def test_robot_base_then_kinematic(robot_dir, tmp_path):
     # stage 1: relaxation
     cli_main([
         "robot", "--seq_path", robot_dir, "--save_root", save_root,
-        "--n_iter", "500", "--assign_iter", "250", "--use_assign_loss",
+        "--n_iter", "400", "--assign_iter", "200", "--use_assign_loss",
         "--num_parts", "5", "--start_tau", "2", "--end_tau", "0.5",
         "--num_points", "360", "--snapshot_gap", "1000",
     ])

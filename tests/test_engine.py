@@ -92,7 +92,7 @@ def test_fit_recovers_two_parts(toy):
     key = jax.random.PRNGKey(3)
     params = init_base_params(key, num_parts=4, pose_len=pc_list.shape[0])
     cfg = FitConfig(
-        n_iter=400, use_assign_loss=True, assign_iter=200, assign_gap=5,
+        n_iter=300, use_assign_loss=True, assign_iter=150, assign_gap=5,
         start_tau=2.0, end_tau=0.5,
     )
     fitted, _ = fit_base(key, params, cfg, cano, pc_list)
@@ -121,3 +121,18 @@ def test_fit_chunked_dispatch_equivalence(toy):
     np.testing.assert_allclose(np.asarray(h_one["total_loss"]),
                                np.asarray(h_chk["total_loss"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_select_canonical_frame(toy):
+    """Energy-based cano selection runs per-candidate fits with shared
+    compiled programs and returns finite energies for all candidates."""
+    from reart_tpu.selection import select_canonical_frame
+
+    cano, pc_list, _ = toy
+    complete = np.concatenate([cano[None], pc_list], axis=0)
+    cfg = FitConfig(n_iter=60, start_tau=2.0, end_tau=1.0)
+    best, energies = select_canonical_frame(
+        jax.random.PRNGKey(0), complete, cfg, num_parts=4,
+        candidates=[0, 2], verbose=False)
+    assert best in (0, 2)
+    assert all(np.isfinite(e["total_err"]) for e in energies.values())
