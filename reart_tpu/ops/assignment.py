@@ -97,7 +97,7 @@ def auction_lap(
     eps_min: float = 1e-4,
     num_scales: int = 5,
     scale_factor: float = 8.0,
-    max_sweeps: int = 2000,
+    max_sweeps: int = 500,
     price: jnp.ndarray | None = None,
     return_price: bool = False,
 ):

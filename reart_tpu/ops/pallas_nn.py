@@ -135,7 +135,12 @@ def nn_topk_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int):
 
 def use_pallas(query_shape, ref_shape) -> bool:
     """Kernel pays off when the distance matrix is big enough that HBM
-    traffic dominates, and we are actually on TPU."""
+    traffic dominates, and we are actually on TPU. Set
+    REART_TPU_DISABLE_PALLAS=1 to force the jnp path (debugging valve)."""
+    import os
+
+    if os.environ.get("REART_TPU_DISABLE_PALLAS"):
+        return False
     if jax.default_backend() != "tpu":
         return False
     n, m = query_shape[-2], ref_shape[-2]

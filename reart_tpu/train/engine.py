@@ -75,7 +75,7 @@ class FitConfig:
     # max iterations per device dispatch: bounds single-execution wall time
     # (long-running executions trip TPU-runtime watchdogs) and sets the
     # granularity at which the host can observe progress
-    dispatch_chunk: int = 250
+    dispatch_chunk: int = 50
 
 
 class FlowContext(NamedTuple):

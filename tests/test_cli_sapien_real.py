@@ -74,7 +74,7 @@ def test_sapien_driver_e2e(sapien_dir, tmp_path):
     save_root = str(tmp_path / "exp")
     cli_main([
         "sapien", "--sapien_base_folder", sapien_dir, "--sapien_idx", "0",
-        "--save_root", save_root, "--n_iter", "300", "--assign_iter", "150",
+        "--save_root", save_root, "--n_iter", "200", "--assign_iter", "100",
         "--use_assign_loss", "--num_parts", "4", "--start_tau", "1",
         "--end_tau", "0.5", "--snapshot_gap", "1000",
     ])
@@ -110,7 +110,7 @@ def test_real_driver_e2e(tmp_path):
     save_root = str(tmp_path / "exp")
     cli_main([
         "real", "--seq_path", str(mesh_dir), "--save_root", save_root,
-        "--n_iter", "150", "--num_parts", "3", "--num_points", "256",
+        "--n_iter", "100", "--num_parts", "3", "--num_points", "256",
         "--start_tau", "1", "--end_tau", "0.5", "--snapshot_gap", "1000",
     ])
     seq_dir = os.path.join(save_root, "scans")
