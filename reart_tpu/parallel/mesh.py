@@ -78,8 +78,11 @@ def _param_shardings(params, mesh: Mesh):
 
 
 def make_batched_fit_step(mesh: Mesh, tx: optax.GradientTransformation,
-                          tau: float = 1.0):
-    """One sharded optimization step over a BATCH of sequences.
+                          tau: float = 1.0, use_assign: bool = False,
+                          downsample: int = 4, lambda_assign: float = 3e-1):
+    """One sharded optimization step over a BATCH of sequences — the FULL
+    per-sequence loss stack (recon Chamfer + optional on-device auction
+    assignment), vmapped over sequences.
 
     Returns (step_fn, shard_args) where
       step_fn(params, opt_state, cano_pc, pc_list, keys) ->
@@ -92,7 +95,22 @@ def make_batched_fit_step(mesh: Mesh, tx: optax.GradientTransformation,
 
     def per_seq_loss(params, cano_pc, pc_list, key):
         pc_trans, _, _ = base_forward(params, cano_pc, key, tau)
-        return chamfer_loss(pc_trans, pc_list)
+        loss = chamfer_loss(pc_trans, pc_list)
+        if use_assign:
+            from reart_tpu.ops.assignment import auction_lap
+            from reart_tpu.ops.distance import pairwise_sqdist
+            from reart_tpu.train.engine import build_assign_context
+
+            actx = build_assign_context(cano_pc, pc_list, downsample)
+            pc_src = pc_trans[:, actx.src_idx]
+            cost = jnp.sqrt(pairwise_sqdist(
+                jax.lax.stop_gradient(pc_src), actx.pc_tgt))
+            perm = auction_lap(cost, num_scales=2, max_sweeps=64)
+            matched = jnp.take_along_axis(
+                actx.pc_tgt, perm[..., None].astype(jnp.int32).repeat(3, -1),
+                axis=1)
+            loss = loss + lambda_assign * jnp.sum((pc_src - matched) ** 2)
+        return loss
 
     def batched_loss(params, cano_pc, pc_list, keys):
         losses = jax.vmap(per_seq_loss)(params, cano_pc, pc_list, keys)
