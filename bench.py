@@ -61,7 +61,7 @@ def main():
     )
 
     key = jax.random.PRNGKey(0)
-    n_iter = 1500
+    n_iter = 800
     cfg = FitConfig(
         n_iter=n_iter, use_assign_loss=True, use_flow_loss=True,
         assign_iter=n_iter // 2, assign_gap=5, downsample=4,

@@ -50,9 +50,13 @@ def _auction_phase(benefit, price, eps, max_sweeps):
         row_to_col, price, sweep = state
         unassigned = row_to_col < 0  # (B, N)
         values = benefit - price[:, None, :]  # (B, N, M)
-        top2, idx2 = jax.lax.top_k(values, 2)
-        best_j = idx2[..., 0]  # (B, N)
-        bid = top2[..., 0] - top2[..., 1] + eps
+        # top-2 via max/argmax passes — lax.top_k is a SORT on TPU and
+        # dominated the whole assignment phase (measured 267 ms/iter)
+        best_v = jnp.max(values, axis=-1)
+        best_j = jnp.argmax(values, axis=-1)  # (B, N), first max = low index
+        masked = jnp.where(best_j[..., None] == col_ids, neg_inf, values)
+        second_v = jnp.max(masked, axis=-1)
+        bid = best_v - second_v + eps
         bid = jnp.where(unassigned, bid, -jnp.inf)  # only unassigned rows bid
 
         # column-wise max bid + winning row, as masked reductions (no scatter)

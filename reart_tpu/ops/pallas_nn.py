@@ -157,6 +157,10 @@ def nn_topk(query: jnp.ndarray, ref: jnp.ndarray, k: int):
         from reart_tpu.ops.distance import pairwise_sqdist
 
         sq = pairwise_sqdist(query, ref)
+        if k == 1:  # argmin reduction, not a top_k sort
+            idx = jnp.argmin(sq, axis=-1)[..., None]
+            d = jnp.take_along_axis(sq, idx, axis=-1)
+            return jnp.clip(d, min=0.0), idx
         neg_d, idx = jax.lax.top_k(-sq, k)
         return jnp.clip(-neg_d, min=0.0), idx
 

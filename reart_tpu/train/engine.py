@@ -259,8 +259,8 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
             pc_trans_list, _, _ = forward_fn(params, step_key, tau_fn(it0 + 1))
             pc_src = jax.lax.stop_gradient(pc_trans_list[:, actx.src_idx])
             cost = jnp.sqrt(pairwise_sqdist(pc_src, actx.pc_tgt))
-            return auction_lap(cost, eps_min=1e-4, num_scales=3,
-                               scale_factor=10.0, max_sweeps=150,
+            return auction_lap(cost, eps_min=1e-4, num_scales=2,
+                               scale_factor=50.0, max_sweeps=100,
                                price=price, return_price=True)
 
         def outer(carry, it0):
