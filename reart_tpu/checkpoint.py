@@ -100,6 +100,69 @@ def load_result(path: str) -> dict:
         return pickle.load(f)
 
 
+# -- torch reference-checkpoint interop -------------------------------------
+
+def load_torch_base(path: str):
+    """Load a reference BaseModel checkpoint (torch.save dict with
+    state_dict {proposal_6d, proposal_t, seg_head.model.*}, tau, cano_idx —
+    run_robot.py:340-342) into our base-model param pytree."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k: np.asarray(v) for k, v in ckpt["state_dict"].items()
+          if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
+    seg = [
+        {"w": jnp.asarray(sd["seg_head.model.0.weight"][:, :, 0].T),
+         "b": jnp.asarray(sd["seg_head.model.0.bias"])},
+        {"w": jnp.asarray(sd["seg_head.model.2.weight"][:, :, 0].T)},
+    ]
+    params = {
+        "seg": seg,
+        "proposal_6d": jnp.asarray(sd["proposal_6d"]),
+        "proposal_t": jnp.asarray(sd["proposal_t"]),
+    }
+    return params, float(ckpt.get("tau", 1.0)), int(ckpt.get("cano_idx", 0))
+
+
+def load_torch_kinematic(path: str):
+    """Load a reference KinematicModel checkpoint (state_dict {axis_list,
+    moment_list, theta_list[, distance_list, root_6d, root_t]} + seg_part /
+    cano_pc / edge_index / reverse_topo — run_robot.py:344-356) into
+    (params, KinematicState, tau, cano_idx)."""
+    import torch
+
+    from reart_tpu.models.kinematic import make_kinematic_state
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k: np.asarray(v) for k, v in ckpt["state_dict"].items()}
+    params = {
+        "axis_list": jnp.asarray(sd["axis_list"]),
+        "moment_list": jnp.asarray(sd["moment_list"]),
+        "theta_list": jnp.asarray(sd["theta_list"]),
+    }
+    if "distance_list" in sd:
+        params["distance_list"] = jnp.asarray(sd["distance_list"])
+    if "root_6d" in sd:
+        params["root_6d"] = jnp.asarray(sd["root_6d"])
+        params["root_t"] = jnp.asarray(sd["root_t"])
+
+    # edge_index {"child_parent": idx} -> edges ordered by idx
+    edge_index = ckpt["edge_index"]
+    edges = [None] * len(edge_index)
+    for name, idx in edge_index.items():
+        c, p = name.split("_")
+        edges[int(idx)] = (int(c), int(p))
+    children = {c for c, _ in edges}
+    root = next(int(p) for _, p in edges if p not in children)
+    joint_types = ckpt.get("joint_type_list")
+    state = make_kinematic_state(
+        np.asarray(ckpt["seg_part"]), np.asarray(ckpt["cano_pc"]), edges,
+        root, joint_types=joint_types,
+        has_root_trans="root_6d" in sd,
+    )
+    return params, state, float(ckpt.get("tau", 1.0)), int(ckpt.get("cano_idx", 0))
+
+
 # -- orbax-backed variant (multi-host / async, for production fits) ---------
 
 def save_orbax(directory: str, payload) -> None:
