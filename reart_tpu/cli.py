@@ -435,19 +435,32 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.manual_seed)
     tau = args.end_tau
 
+    def is_torch_ckpt(path):
+        with open(path, "rb") as f:
+            return f.read(2) == b"PK"  # torch.save zip container
+
     state = None
     if args.model == "base":
         params = init_base_params(key, args.num_parts, pc_list.shape[0])
         if args.resume:
-            payload = ckpt.load_checkpoint(args.resume[0])
-            params = jax.tree.map(jnp.asarray, payload["state_dict"])
-            tau = payload["tau"]
+            if is_torch_ckpt(args.resume[0]):
+                params, tau, ck_cano = ckpt.load_torch_base(args.resume[0])
+                assert ck_cano == args.cano_idx, "checkpoint cano_idx mismatch"
+            else:
+                payload = ckpt.load_checkpoint(args.resume[0])
+                params = jax.tree.map(jnp.asarray, payload["state_dict"])
+                tau = payload["tau"]
     else:
         if args.resume:
-            payload = ckpt.load_checkpoint(args.resume[0])
-            params = jax.tree.map(jnp.asarray, payload["state_dict"])
-            state = ckpt.restore_kinematic_state(payload)
-            tau = payload.get("tau", tau)
+            if is_torch_ckpt(args.resume[0]):
+                params, state, tau, ck_cano = ckpt.load_torch_kinematic(
+                    args.resume[0])
+                assert ck_cano == args.cano_idx, "checkpoint cano_idx mismatch"
+            else:
+                payload = ckpt.load_checkpoint(args.resume[0])
+                params = jax.tree.map(jnp.asarray, payload["state_dict"])
+                state = ckpt.restore_kinematic_state(payload)
+                tau = payload.get("tau", tau)
         else:
             assert args.base_result_path is not None
             result = ckpt.load_result(args.base_result_path)
