@@ -476,10 +476,12 @@ def main(argv=None):
         with phase_timer("fit"), trace:
             if args.model == "base":
                 params, hist = fit_base(key, params, cfg, cano_pc, pc_list,
-                                        flow_ctx=flow_ctx)
+                                        flow_ctx=flow_ctx,
+                                        log_every=args.snapshot_gap)
             else:
                 params, hist = fit_kinematic(key, params, state, cfg, pc_list,
-                                             flow_ctx=flow_ctx)
+                                             flow_ctx=flow_ctx,
+                                             log_every=args.snapshot_gap)
             jax.block_until_ready(hist)
         print(f"fit done: final total_loss {float(hist['total_loss'][-1]):.3f}")
         tau = args.end_tau

@@ -295,13 +295,26 @@ def fit(
     pc_list,
     flow_ctx: FlowContext | None = None,
     two_group_opt: bool = False,
+    log_every: int | None = None,
 ):
     """Run the full per-sequence fit. Returns (params, history dict).
 
     history holds per-iteration float32 scalars: total_loss, recon_loss,
     ass_loss, flow_loss (zeros where a term is inactive) — the reference's
     printed `losses` dict (run_robot.py:186-216) in array form.
+    log_every: print progress roughly every this many iterations (rounded to
+    dispatch boundaries; forces a host sync per print).
     """
+
+    def _log(h, done, step_sz):
+        if log_every is None:
+            return
+        le = max(log_every, 1)
+        if done // le == (done - step_sz) // le and done < cfg.n_iter:
+            return  # no boundary crossed by this dispatch
+        last = {k: float(v.reshape(-1)[-1]) for k, v in h.items()}
+        msg = " | ".join(f"{k}: {v:.3f}" for k, v in last.items() if v != 0.0)
+        print(f"iteration {min(done, cfg.n_iter) - 1} | {msg}", flush=True)
     cano_pc = jnp.asarray(cano_pc, jnp.float32)
     pc_list = jnp.asarray(pc_list, jnp.float32)
     tx = make_optimizer(params, cfg, two_groups=two_group_opt)
@@ -323,6 +336,7 @@ def fit(
                 flow_ctx,
             )
             hs.append(h)
+            _log(h, start + chunk, chunk)
         h = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_recon], *hs)
         history.append(h)
 
@@ -344,6 +358,7 @@ def fit(
                 flow_ctx, actx,
             )
             hs.append(jax.tree.map(lambda v: v.reshape(-1), h))
+            _log(h, n_recon + (start + outer_chunk) * gap, outer_chunk * gap)
         h = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:remaining], *hs)
         history.append(h)
 
@@ -396,15 +411,18 @@ class _KinematicForward:
         return isinstance(other, _KinematicForward) and self.state is other.state
 
 
-def fit_base(key, params, cfg, cano_pc, pc_list, flow_ctx=None):
+def fit_base(key, params, cfg, cano_pc, pc_list, flow_ctx=None,
+             log_every=None):
     """Relaxation-stage fit (reference `--model=base`)."""
     cano = jnp.asarray(cano_pc, jnp.float32)
     return fit(key, _BaseForward(cano), params, cfg, cano, pc_list,
-               flow_ctx=flow_ctx, two_group_opt=True)
+               flow_ctx=flow_ctx, two_group_opt=True, log_every=log_every)
 
 
-def fit_kinematic(key, params, state, cfg, pc_list, flow_ctx=None):
+def fit_kinematic(key, params, state, cfg, pc_list, flow_ctx=None,
+                  log_every=None):
     """Projection-stage fit (reference `--model=kinematic`): same loss stack,
     Adam over all params at trans_lr (run_robot.py:150-151)."""
     return fit(key, _KinematicForward(state), params, cfg, state.cano_pc,
-               pc_list, flow_ctx=flow_ctx, two_group_opt=False)
+               pc_list, flow_ctx=flow_ctx, two_group_opt=False,
+               log_every=log_every)
