@@ -191,6 +191,8 @@ def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
     )
     from reart_tpu.sapien_eval import compute_align_trans
 
+    from reart_tpu.hostops import on_host
+
     assert args.cano_idx == result["cano_idx"]
     seg_part = jnp.asarray(result["pred_cano_part"])
     trans_list = jnp.asarray(result["pred_pose_list"], jnp.float32)
@@ -199,15 +201,17 @@ def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
     if "joint_connection" in result:
         joint_connection = np.asarray(result["joint_connection"])
     else:
-        graph_trans = trans_list
-        if root_aligned:
-            root_part = int(np.bincount(np.asarray(seg_part)).argmax())
-            graph_trans = compute_align_trans(trans_list, trans_list[:, root_part])
-        seg_part = jnp.asarray(merging_wrapper(
-            seg_part, graph_trans, cano_pc, args.merge_thr))
-        joint_connection = mst_wrapper(
-            seg_part, graph_trans, cano_pc, num_fps=20,
-            cano_dist_thr=args.cano_dist_thr, joint_cost_weight=args.lambda_joint)
+        with on_host():
+            graph_trans = trans_list
+            if root_aligned:
+                root_part = int(np.bincount(np.asarray(seg_part)).argmax())
+                graph_trans = compute_align_trans(trans_list, trans_list[:, root_part])
+            seg_part = jnp.asarray(merging_wrapper(
+                seg_part, graph_trans, cano_pc, args.merge_thr))
+            joint_connection = mst_wrapper(
+                seg_part, graph_trans, cano_pc, num_fps=20,
+                cano_dist_thr=args.cano_dist_thr,
+                joint_cost_weight=args.lambda_joint)
 
     new_seg, new_trans, new_conn = extract_kinematic(
         seg_part, trans_list, joint_connection)
@@ -258,9 +262,10 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
     from reart_tpu import checkpoint as ckpt
     from reart_tpu import viz
 
+    from reart_tpu.hostops import on_host
+
     cano_pc = jnp.asarray(sample["cano_pc"], jnp.float32)
     cano_idx = args.cano_idx
-    seg_part = np.asarray(denoise_seg_label(seg_part, cano_pc, min_num=20))
     is_kinematic = state is not None
     root_aligned = domain != "robot"
 
@@ -270,19 +275,23 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
         root_part = int(np.bincount(seg_part).argmax())
         return compute_align_trans(jnp.asarray(trans), jnp.asarray(trans)[:, root_part])
 
-    if not is_kinematic and len(np.unique(seg_part)) > 1:
-        seg_part = np.asarray(merging_wrapper(
-            seg_part, aligned(trans_list), cano_pc, args.merge_thr,
-            n_it=args.merge_it))
-    if is_kinematic:
-        joint_connection = np.asarray([list(e) for e in state.edges])
-    else:
-        joint_connection = mst_wrapper(
-            seg_part, aligned(trans_list), cano_pc, num_fps=20,
-            cano_dist_thr=args.cano_dist_thr,
-            joint_cost_weight=args.lambda_joint)
-    seg_part, trans_list, joint_connection = extract_kinematic(
-        seg_part, trans_list, joint_connection)
+    # graph stage on the host backend: tiny P-dependent programs would
+    # otherwise recompile over the TPU tunnel for every new part count
+    with on_host():
+        seg_part = np.asarray(denoise_seg_label(seg_part, cano_pc, min_num=20))
+        if not is_kinematic and len(np.unique(seg_part)) > 1:
+            seg_part = np.asarray(merging_wrapper(
+                seg_part, aligned(trans_list), cano_pc, args.merge_thr,
+                n_it=args.merge_it))
+        if is_kinematic:
+            joint_connection = np.asarray([list(e) for e in state.edges])
+        else:
+            joint_connection = mst_wrapper(
+                seg_part, aligned(trans_list), cano_pc, num_fps=20,
+                cano_dist_thr=args.cano_dist_thr,
+                joint_cost_weight=args.lambda_joint)
+        seg_part, trans_list, joint_connection = extract_kinematic(
+            seg_part, trans_list, joint_connection)
     joint_connection_list = np.asarray(joint_connection).tolist()
 
     pred_pc = compute_pc_transform(cano_pc, jnp.asarray(trans_list),

@@ -141,6 +141,9 @@ def use_pallas(query_shape, ref_shape) -> bool:
 
     if os.environ.get("REART_TPU_DISABLE_PALLAS"):
         return False
+    dev = jax.config.jax_default_device
+    if dev is not None and dev.platform != "tpu":
+        return False  # inside an on_host()/default_device(cpu) region
     if jax.default_backend() != "tpu":
         return False
     n, m = query_shape[-2], ref_shape[-2]
