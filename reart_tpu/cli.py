@@ -79,6 +79,12 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     p.add_argument("--save_vis", action="store_true")
     p.add_argument("--trace_dir", default=None, type=str,
                    help="write a jax.profiler device trace of the fit here")
+    p.add_argument("--auto_cano", action="store_true",
+                   help="select the canonical frame by short-fit energy sweep "
+                        "before the full fit (the reference README has the "
+                        "user run one process per candidate)")
+    p.add_argument("--auto_cano_iters", default=None, type=int,
+                   help="selection-fit iterations (default n_iter // 10)")
     # reference-surface flags that are no-ops here (the LAP runs on-device /
     # logging is already quiet), accepted for drop-in compatibility
     p.add_argument("--use_nproc", action="store_true",
@@ -285,13 +291,20 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
                 n_it=args.merge_it))
         if is_kinematic:
             joint_connection = np.asarray([list(e) for e in state.edges])
-        else:
+        elif len(np.unique(seg_part)) > 1:
             joint_connection = mst_wrapper(
                 seg_part, aligned(trans_list), cano_pc, num_fps=20,
                 cano_dist_thr=args.cano_dist_thr,
                 joint_cost_weight=args.lambda_joint)
-        seg_part, trans_list, joint_connection = extract_kinematic(
-            seg_part, trans_list, joint_connection)
+        else:  # degenerate single-part fit: rigid object, no tree
+            joint_connection = np.zeros((0, 2), np.int64)
+        if joint_connection.shape[0] > 0:
+            seg_part, trans_list, joint_connection = extract_kinematic(
+                seg_part, trans_list, joint_connection)
+        else:
+            lab = int(np.unique(seg_part)[0])
+            seg_part = np.zeros_like(seg_part)
+            trans_list = np.asarray(trans_list)[:, lab:lab + 1]
     joint_connection_list = np.asarray(joint_connection).tolist()
 
     pred_pc = compute_pc_transform(cano_pc, jnp.asarray(trans_list),
@@ -361,7 +374,9 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
         from reart_tpu.graph.ted import compute_ted, find_root_node
 
         root_cost = np.asarray(compute_root_cost(jnp.asarray(trans_list)))
-        pred_root = int(np.unique(joint_connection)[root_cost.argmin()])
+        labels = (np.unique(joint_connection)
+                  if len(joint_connection_list) else np.array([0]))
+        pred_root = int(labels[root_cost.argmin()])
         _, gt_edges = load_gt_graph(args.seq_path)
         results["ted"] = compute_ted(joint_connection_list, pred_root,
                                      gt_edges, find_root_node(gt_edges))
@@ -429,6 +444,27 @@ def main(argv=None):
 
     dataset = load_dataset(args, domain)
     sample = dataset[args.sapien_idx] if domain == "sapien" else dataset[0]
+
+    if getattr(args, "auto_cano", False) and args.model == "base" \
+            and not args.evaluate:
+        import dataclasses as _dc
+
+        from reart_tpu.selection import select_canonical_frame
+
+        sel_cfg = _dc.replace(
+            fit_config(args, domain),
+            n_iter=args.auto_cano_iters or max(100, args.n_iter // 10),
+            use_flow_loss=False,
+        )
+        best, energies = select_canonical_frame(
+            jax.random.PRNGKey(args.manual_seed),
+            sample["complete_pc_list"], sel_cfg, args.num_parts,
+            include_group=domain == "robot")
+        print(f"auto_cano: selected frame {best} "
+              f"(energies {[round(e['total_err'], 3) for e in energies.values()]})")
+        args.cano_idx = best
+        dataset = load_dataset(args, domain)
+        sample = dataset[args.sapien_idx] if domain == "sapien" else dataset[0]
     seq_name = (str(args.sapien_idx) if domain == "sapien"
                 else args.seq_path.rstrip("/").split("/")[-1])
     save_dir = os.path.join(args.save_root, seq_name)

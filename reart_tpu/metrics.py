@@ -101,7 +101,8 @@ def energy(pred_pc_list, pc_list, trans_list, joint_connection, seg_part,
     from reart_tpu.graph import compute_screw_cost
 
     ass_err = 100.0 * compute_ass_err(pred_pc_list, pc_list)
-    screw_err = float(compute_screw_cost(trans_list, joint_connection))
+    screw_err = (0.0 if np.asarray(joint_connection).shape[0] == 0 else
+                 float(compute_screw_cost(trans_list, joint_connection)))
     total = ass_err + screw_err
     parts = {"ass_err": ass_err, "screw_err": screw_err}
     if include_group:

@@ -26,8 +26,13 @@ def fit_energy(params, cfg, cano_pc, pc_list, cano_idx, seg_part, trans_list,
     seg = np.asarray(seg_part)
     if len(np.unique(seg)) > 1:
         seg = np.asarray(merging_wrapper(seg, trans_list, cano_pc, 3e-2))
-    conn = mst_wrapper(seg, trans_list, cano_pc)
-    seg, trans, conn = extract_kinematic(seg, trans_list, conn)
+    if len(np.unique(seg)) > 1:
+        conn = mst_wrapper(seg, trans_list, cano_pc)
+        seg, trans, conn = extract_kinematic(seg, trans_list, conn)
+    else:  # degenerate single-part candidate: rigid fit, no tree
+        seg = np.zeros_like(seg)
+        trans = np.asarray(trans_list)[:, :1]
+        conn = np.zeros((0, 2), np.int64)
     pred_pc = compute_pc_transform(cano_pc, jnp.asarray(trans), jnp.asarray(seg))
     complete_pred = jnp.concatenate(
         [pred_pc[:cano_idx], cano_pc[None], pred_pc[cano_idx:]], axis=0

@@ -120,3 +120,26 @@ def test_real_driver_e2e(tmp_path):
     assert "seg_ri" not in txt
     for artifact in ("result.pkl", "seg.html", "structure.html", "recon.gif"):
         assert os.path.exists(os.path.join(seq_dir, artifact)), artifact
+
+
+def test_auto_cano_flag(tmp_path):
+    """--auto_cano selects the canonical frame by a short energy sweep."""
+    mesh_dir = tmp_path / "scans"
+    mesh_dir.mkdir()
+    for i in range(3):
+        a = 0.3 * i
+        c, s = np.cos(a), np.sin(a)
+        verts = [(0, 0, 0), (1, 0, 0), (1, 0.5, 0), (0, 0.5, 0),
+                 (c * -1, 0, s * -1), (0, 0, 0), (0, 0.5, 0),
+                 (c * -1, 0.5, s * -1)]
+        lines = [f"v {x} {y} {z}" for x, y, z in verts]
+        lines += ["f 1 2 3", "f 1 3 4", "f 5 6 7", "f 5 7 8"]
+        (mesh_dir / f"scan_{i}.obj").write_text("\n".join(lines) + "\n")
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "real", "--seq_path", str(mesh_dir), "--save_root", save_root,
+        "--n_iter", "60", "--num_parts", "3", "--num_points", "128",
+        "--auto_cano", "--auto_cano_iters", "30",
+        "--start_tau", "1", "--end_tau", "0.5", "--snapshot_gap", "1000",
+    ])
+    assert os.path.exists(os.path.join(save_root, "scans", "result.txt"))
