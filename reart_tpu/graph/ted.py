@@ -35,7 +35,7 @@ def _children_map(edges, root):
     children, seen, queue = {}, {root}, deque([root])
     while queue:
         cur = queue.popleft()
-        kids = sorted(adj.get(cur, ()) - seen)
+        kids = sorted(adj.get(cur, set()) - seen)
         children[cur] = kids
         seen.update(kids)
         queue.extend(kids)
@@ -167,13 +167,22 @@ def compute_ted(pred_edges, pred_root, gt_edges, gt_root,
             return [tuple(order)]
         return _bfs_orders(children, root, limit=max_traversals)
 
+    pred_orders = orderings(pred_children, pred_root)
+    gt_orders = orderings(gt_children, gt_root)
+    if max_traversals is not None and traverse and (
+            len(pred_orders) >= max_traversals or len(gt_orders) >= max_traversals):
+        import warnings
+
+        warnings.warn(
+            f"compute_ted: BFS-ordering enumeration truncated at "
+            f"{max_traversals}; reported TED is an upper bound", stacklevel=2)
     pred_trees = [
         _ordered_tree(pred_children, pred_root, {v: i for i, v in enumerate(o)})
-        for o in orderings(pred_children, pred_root)
+        for o in pred_orders
     ]
     gt_trees = [
         _ordered_tree(gt_children, gt_root, {v: i for i, v in enumerate(o)})
-        for o in orderings(gt_children, gt_root)
+        for o in gt_orders
     ]
     # dedup identical ordered shapes before the quadratic sweep
     pred_trees = list({repr(t): t for t in pred_trees}.values())

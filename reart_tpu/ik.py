@@ -16,51 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from reart_tpu.data.common import sparse_sample_novel_state  # noqa: F401
 from reart_tpu.models.base_model import IDENTITY_6D, base_forward
 from reart_tpu.models.kinematic import PIN, kinematic_forward
-
-
-def sparse_sample_novel_state(cano_pc, gt_cano_part, cano_pose, novel_pose,
-                              sparse_sample_per_part: int = 1):
-    """Deterministic sparse correspondences for a novel pose
-    (dataset_utils.py:55-88: fixed point indices 10..10+k per part).
-
-    cano_pose / novel_pose: {part_id: 4x4}. Returns the reference's sample
-    dict: gt_novel_pose, gt_sparse_part, novel_pc (full transformed cloud),
-    sparse_cano_pc, sparse_novel_pc.
-    """
-    from reart_tpu.data.common import get_rel_pose
-
-    cano_pc = np.asarray(cano_pc, np.float64)
-    gt_cano_part = np.asarray(gt_cano_part)
-    unique_ids = sorted(set(gt_cano_part.tolist()))
-    rel = get_rel_pose(cano_pose, novel_pose)
-    k = sparse_sample_per_part
-    pc_transform = np.empty_like(cano_pc)
-    sparse_cano = np.empty((k * len(unique_ids), 3))
-    sparse_novel = np.empty_like(sparse_cano)
-    sparse_part = np.empty(k * len(unique_ids))
-    pose_list = []
-    for n, part_id in enumerate(unique_ids):
-        pose = rel[part_id]
-        pose_list.append(pose)
-        sel = gt_cano_part == part_id
-        pts = cano_pc[sel]
-        homo = np.concatenate([pts, np.ones((pts.shape[0], 1))], axis=1)
-        pc_transform[sel] = (homo @ pose.T)[:, :3]
-        assert len(pts) > 10 + k, f"part {part_id} too small for sparse sampling"
-        chosen = pts[10 + np.arange(k)]
-        sparse_cano[n * k:(n + 1) * k] = chosen
-        homo = np.concatenate([chosen, np.ones((k, 1))], axis=1)
-        sparse_novel[n * k:(n + 1) * k] = (homo @ pose.T)[:, :3]
-        sparse_part[n * k:(n + 1) * k] = part_id
-    return {
-        "gt_novel_pose": np.stack(pose_list).astype("float32"),
-        "gt_sparse_part": sparse_part,
-        "novel_pc": pc_transform.astype("float32"),
-        "sparse_cano_pc": sparse_cano.astype("float32"),
-        "sparse_novel_pc": sparse_novel.astype("float32"),
-    }
 
 
 def _solve(loss_fn, opt_params, n_iter: int, lr: float):

@@ -93,15 +93,13 @@ def make_batched_fit_step(mesh: Mesh, tx: optax.GradientTransformation,
     and keeps the proposal grads collective-free.
     """
 
-    def per_seq_loss(params, cano_pc, pc_list, key):
+    def per_seq_loss(params, cano_pc, pc_list, key, actx):
         pc_trans, _, _ = base_forward(params, cano_pc, key, tau)
         loss = chamfer_loss(pc_trans, pc_list)
         if use_assign:
             from reart_tpu.ops.assignment import auction_lap
             from reart_tpu.ops.distance import pairwise_sqdist
-            from reart_tpu.train.engine import build_assign_context
 
-            actx = build_assign_context(cano_pc, pc_list, downsample)
             pc_src = pc_trans[:, actx.src_idx]
             cost = jnp.sqrt(pairwise_sqdist(
                 jax.lax.stop_gradient(pc_src), actx.pc_tgt))
@@ -112,13 +110,20 @@ def make_batched_fit_step(mesh: Mesh, tx: optax.GradientTransformation,
             loss = loss + lambda_assign * jnp.sum((pc_src - matched) ** 2)
         return loss
 
-    def batched_loss(params, cano_pc, pc_list, keys):
-        losses = jax.vmap(per_seq_loss)(params, cano_pc, pc_list, keys)
+    def batched_loss(params, cano_pc, pc_list, keys, actx):
+        losses = jax.vmap(per_seq_loss)(params, cano_pc, pc_list, keys, actx)
         return jnp.sum(losses), losses
 
     def step(params, opt_state, cano_pc, pc_list, keys):
+        # FPS anchors depend only on the (constant) inputs: computed once
+        # per step outside the grad, not re-derived inside the loss
+        from reart_tpu.train.engine import build_assign_context
+
+        actx = jax.vmap(
+            lambda c, p: build_assign_context(c, p, downsample)
+        )(cano_pc, pc_list)
         (_, losses), grads = jax.value_and_grad(batched_loss, has_aux=True)(
-            params, cano_pc, pc_list, keys
+            params, cano_pc, pc_list, keys, actx
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, losses

@@ -2,10 +2,11 @@
 
 The reference README (README.md:60) tells the USER to re-run the whole fit
 once per candidate canonical frame and keep the lowest-energy result — a
-manual sweep of full processes. Here it is one call: candidate fits reuse the
-cached compiled programs (same shapes -> zero recompilation), and the
-energies come from the same ass+screw(+group) formula the drivers print
-(run_robot.py:306-321).
+manual sweep of full processes. Here it is one call. Candidate fits share
+shapes; the canonical cloud is a traced argument of the compiled programs,
+though each distinct cano_idx still compiles its own program (the canonical
+frame's position in the concatenation is static). Energies use the same
+ass+screw(+group) formula the drivers print (run_robot.py:306-321).
 """
 
 from __future__ import annotations
@@ -19,19 +20,27 @@ import jax.numpy as jnp
 def fit_energy(params, cfg, cano_pc, pc_list, cano_idx, seg_part, trans_list,
                sample_complete, include_group: bool = True) -> dict:
     """Energy of a finished fit (run_robot.py:306-314)."""
-    from reart_tpu.graph import extract_kinematic, merging_wrapper, mst_wrapper
+    from reart_tpu.graph import (
+        denoise_seg_label,
+        extract_kinematic,
+        merging_wrapper,
+        mst_wrapper,
+    )
     from reart_tpu.metrics import energy
     from reart_tpu.models.base_model import compute_pc_transform
 
-    seg = np.asarray(seg_part)
+    # same cleanup protocol as the driver finalize: tiny parts reassigned
+    # before merge costs (masked FPS needs >= num_fps points per part)
+    seg = np.asarray(denoise_seg_label(seg_part, cano_pc, min_num=20))
     if len(np.unique(seg)) > 1:
         seg = np.asarray(merging_wrapper(seg, trans_list, cano_pc, 3e-2))
     if len(np.unique(seg)) > 1:
         conn = mst_wrapper(seg, trans_list, cano_pc)
         seg, trans, conn = extract_kinematic(seg, trans_list, conn)
     else:  # degenerate single-part candidate: rigid fit, no tree
+        lab = int(np.unique(seg)[0])
         seg = np.zeros_like(seg)
-        trans = np.asarray(trans_list)[:, :1]
+        trans = np.asarray(trans_list)[:, lab:lab + 1]
         conn = np.zeros((0, 2), np.int64)
     pred_pc = compute_pc_transform(cano_pc, jnp.asarray(trans), jnp.asarray(seg))
     complete_pred = jnp.concatenate(

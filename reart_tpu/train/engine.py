@@ -40,7 +40,10 @@ from reart_tpu.ops.assignment import auction_lap
 from reart_tpu.ops.distance import pairwise_sqdist
 from reart_tpu.train.schedules import tau_cosine
 
-ForwardFn = Callable[..., tuple]  # (params, key, tau) -> (pc_trans, seg, trans)
+ForwardFn = Callable[..., tuple]
+# (params, key, tau, cano_pc, fwd_ctx) -> (pc_trans, seg, trans); cano_pc and
+# fwd_ctx are TRACED arguments of the compiled scans, never closure constants
+# (a closure-captured cloud would be silently baked into cached programs)
 
 # sentinel coordinate for padded flow anchors: far enough that a padded anchor
 # can never enter a real point's 3-NN set
@@ -167,9 +170,10 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
                  tau_fn=None):
     """Build (tx, recon_scan, assign_scan): the jitted phase programs.
 
-    Cached on (forward_fn, cfg) identity — pass a stable forward callable
-    (e.g. a module-level function or a functools.partial of one held by the
-    caller) to reuse compilations across fits.
+    Cached on (forward_fn, cfg) identity. Forward callables must be
+    module-level functions; all array state (canonical cloud, kinematic
+    state) flows through TRACED scan arguments, so cached programs are safe
+    to reuse across sequences with the same shapes.
 
     recon_scan(params, opt_state, its, key, cano_pc, pc_list, flow_ctx)
     assign_scan(params, opt_state, outer_idx, key, cano_pc, pc_list,
@@ -185,10 +189,12 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
     def make_tx(params):
         return make_optimizer(params, cfg, two_groups=two_group_opt)
 
-    def loss_fn(params, it, key, cano_pc, pc_list, flow_ctx, perm, actx):
+    def loss_fn(params, it, key, cano_pc, pc_list, flow_ctx, fwd_ctx, perm,
+                actx):
         step_key = jax.random.fold_in(key, it)
         tau = tau_fn(it + 1)
-        pc_trans_list, seg, trans_list = forward_fn(params, step_key, tau)
+        pc_trans_list, seg, trans_list = forward_fn(
+            params, step_key, tau, cano_pc, fwd_ctx)
         terms = {}
         if perm is None or cfg.always_recon:
             terms["recon_loss"] = _recon_loss(pc_trans_list, pc_list)
@@ -210,10 +216,11 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
             for k in ("total_loss", "recon_loss", "ass_loss", "flow_loss")
         }
 
-    def step(tx, carry, it, key, cano_pc, pc_list, flow_ctx, perm=None, actx=None):
+    def step(tx, carry, it, key, cano_pc, pc_list, flow_ctx, fwd_ctx,
+             perm=None, actx=None):
         params, opt_state = carry
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, it, key, cano_pc, pc_list, flow_ctx, perm, actx
+            params, it, key, cano_pc, pc_list, flow_ctx, fwd_ctx, perm, actx
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -221,13 +228,14 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
 
     @jax.jit
     def recon_scan(params, opt_state, its, limit, key, cano_pc, pc_list,
-                   flow_ctx):
+                   flow_ctx, fwd_ctx):
         """One bounded dispatch of recon-phase steps; iterations >= limit
         (chunk padding) are masked no-ops."""
         tx = make_tx(params)
 
         def body(carry, it):
-            c_new, logs = step(tx, carry, it, key, cano_pc, pc_list, flow_ctx)
+            c_new, logs = step(tx, carry, it, key, cano_pc, pc_list, flow_ctx,
+                               fwd_ctx)
             keep = it < limit
             c_kept = jax.tree.map(
                 lambda new, old: jnp.where(keep, new, old), c_new, carry
@@ -241,7 +249,7 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
 
     @jax.jit
     def assign_scan(params, opt_state, price, outer_its, key, cano_pc,
-                    pc_list, flow_ctx, actx):
+                    pc_list, flow_ctx, fwd_ctx, actx):
         """One bounded dispatch of assignment-phase chunks. outer_its:
         (n_outer,) global iteration index of each chunk start; each chunk =
         one LAP solve + `gap` gradient steps (iterations past n_iter are
@@ -256,7 +264,8 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
 
         def solve_perm(params, it0, price):
             step_key = jax.random.fold_in(key, it0)
-            pc_trans_list, _, _ = forward_fn(params, step_key, tau_fn(it0 + 1))
+            pc_trans_list, _, _ = forward_fn(
+                params, step_key, tau_fn(it0 + 1), cano_pc, fwd_ctx)
             pc_src = jax.lax.stop_gradient(pc_trans_list[:, actx.src_idx])
             cost = jnp.sqrt(pairwise_sqdist(pc_src, actx.pc_tgt))
             return auction_lap(cost, eps_min=1e-4, num_scales=2,
@@ -270,7 +279,7 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
             def inner(c, j):
                 it = it0 + j
                 (p2, o2), logs = step(tx, c[:2], it, key, cano_pc, pc_list,
-                                      flow_ctx, perm=perm, actx=actx)
+                                      flow_ctx, fwd_ctx, perm=perm, actx=actx)
                 keep = it < cfg.n_iter
                 c_kept = jax.tree.map(
                     lambda new, old: jnp.where(keep, new, old), (p2, o2), c[:2]
@@ -294,6 +303,7 @@ def fit(
     cano_pc,
     pc_list,
     flow_ctx: FlowContext | None = None,
+    fwd_ctx=None,
     two_group_opt: bool = False,
     log_every: int | None = None,
 ):
@@ -333,7 +343,7 @@ def fit(
             its = start + jnp.arange(chunk)
             (params, opt_state), h = recon_scan(
                 params, opt_state, its, n_recon, key, cano_pc, pc_list,
-                flow_ctx,
+                flow_ctx, fwd_ctx,
             )
             hs.append(h)
             _log(h, start + chunk, chunk)
@@ -355,7 +365,7 @@ def fit(
             outer_its = n_recon + (start + jnp.arange(outer_chunk)) * gap
             (params, opt_state, price), h = assign_scan(
                 params, opt_state, price, outer_its, key, cano_pc, pc_list,
-                flow_ctx, actx,
+                flow_ctx, fwd_ctx, actx,
             )
             hs.append(jax.tree.map(lambda v: v.reshape(-1), h))
             _log(h, n_recon + (start + outer_chunk) * gap, outer_chunk * gap)
@@ -370,52 +380,28 @@ def fit(
     return params, hist
 
 
-class _BaseForward:
-    """Hashable stable forward wrapper so make_fit_fns caching works across
-    fits that share shapes (cano selection sweeps, benchmarks)."""
+def _base_forward_fn(params, key, tau, cano_pc, fwd_ctx):
+    """Base-model forward over TRACED cano_pc (fwd_ctx unused)."""
+    from reart_tpu.models.base_model import base_forward
 
-    def __init__(self, cano_pc):
-        from reart_tpu.models.base_model import base_forward
-
-        self._fwd = base_forward
-        self.cano_pc = cano_pc
-        self._key = (cano_pc.shape, str(cano_pc.dtype))
-
-    def __call__(self, params, key, tau):
-        return self._fwd(params, self.cano_pc, key, tau)
-
-    def __hash__(self):
-        return hash(self._key)
-
-    def __eq__(self, other):
-        return isinstance(other, _BaseForward) and self._key == other._key
+    return base_forward(params, cano_pc, key, tau)
 
 
-class _KinematicForward:
-    def __init__(self, state):
-        from reart_tpu.models.kinematic import kinematic_forward
+def _kinematic_forward_fn(params, key, tau, cano_pc, fwd_ctx):
+    """Kinematic forward; fwd_ctx is the KinematicState pytree. Training
+    always forwards the canonical cloud, where the seg transfer is the
+    identity."""
+    from reart_tpu.models.kinematic import kinematic_forward
 
-        self._fwd = kinematic_forward
-        self.state = state
-
-    def __call__(self, params, key, tau):
-        # training forwards the canonical cloud: seg transfer is the identity
-        return self._fwd(params, self.state, self.state.cano_pc,
-                         seg_part=self.state.seg_part)
-
-    def __hash__(self):
-        return hash((self.state.cano_pc.shape, self.state.num_parts,
-                     self.state.path_edges.shape))
-
-    def __eq__(self, other):
-        return isinstance(other, _KinematicForward) and self.state is other.state
+    return kinematic_forward(params, fwd_ctx, cano_pc,
+                             seg_part=fwd_ctx.seg_part)
 
 
 def fit_base(key, params, cfg, cano_pc, pc_list, flow_ctx=None,
              log_every=None):
     """Relaxation-stage fit (reference `--model=base`)."""
     cano = jnp.asarray(cano_pc, jnp.float32)
-    return fit(key, _BaseForward(cano), params, cfg, cano, pc_list,
+    return fit(key, _base_forward_fn, params, cfg, cano, pc_list,
                flow_ctx=flow_ctx, two_group_opt=True, log_every=log_every)
 
 
@@ -423,6 +409,6 @@ def fit_kinematic(key, params, state, cfg, pc_list, flow_ctx=None,
                   log_every=None):
     """Projection-stage fit (reference `--model=kinematic`): same loss stack,
     Adam over all params at trans_lr (run_robot.py:150-151)."""
-    return fit(key, _KinematicForward(state), params, cfg, state.cano_pc,
-               pc_list, flow_ctx=flow_ctx, two_group_opt=False,
-               log_every=log_every)
+    return fit(key, _kinematic_forward_fn, params, cfg, state.cano_pc,
+               pc_list, flow_ctx=flow_ctx, fwd_ctx=state,
+               two_group_opt=False, log_every=log_every)

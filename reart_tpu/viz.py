@@ -126,7 +126,7 @@ def vis_pc(pc, pred_part, pc_gt=None, gt_part=None, name: str = "pred",
         for (p, c), nm in zip(sets, (name, "gt")):
             fig.add_trace(go.Scatter3d(
                 x=p[:, 0], y=p[:, 2], z=p[:, 1], mode="markers", name=nm,
-                marker=dict(color=c, size=5)))
+                marker=dict(color=_rgb_hex(c), size=5)))
         fig.update_layout(showlegend=True, scene=dict(aspectmode="data"))
         fig.write_html(save_path)
     else:
@@ -193,7 +193,7 @@ def vis_structure(cano_pc, seg_part, joint_connection, save_path=None):
         for p, c in sets:
             fig.add_trace(go.Scatter3d(
                 x=p[:, 0], y=p[:, 2], z=p[:, 1], mode="markers",
-                marker=dict(color=c, size=4)))
+                marker=dict(color=_rgb_hex(c), size=4)))
         fig.update_layout(scene=dict(aspectmode="data"))
         fig.write_html(save_path)
     else:

@@ -136,3 +136,24 @@ def test_select_canonical_frame(toy):
         candidates=[0, 2], verbose=False)
     assert best in (0, 2)
     assert all(np.isfinite(e["total_err"]) for e in energies.values())
+
+
+def test_compiled_program_reuse_is_value_safe():
+    """Regression (code-review finding): two same-shaped fits in one process
+    must each optimize against THEIR OWN canonical cloud — cached compiled
+    programs take the cloud as a traced argument, not a closure constant."""
+    rng = np.random.RandomState(7)
+    key = jax.random.PRNGKey(0)
+    cfg = FitConfig(n_iter=40, start_tau=1.0, end_tau=1.0)
+
+    losses = []
+    for seed in (0, 1):
+        r = np.random.RandomState(seed)
+        cano = r.randn(64, 3).astype(np.float32) * (1.0 + seed * 5.0)
+        pcs = np.stack([cano + 0.01 * i for i in range(1, 4)])
+        params = init_base_params(key, num_parts=3, pose_len=3)
+        _, h = fit_base(key, params, cfg, cano, pcs)
+        losses.append(float(h["total_loss"][-1]))
+    # both fits converge on their own data; a baked-in first cloud makes the
+    # second loss explode by orders of magnitude
+    assert losses[1] < 100 * max(losses[0], 1e-3), losses
