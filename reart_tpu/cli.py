@@ -522,11 +522,13 @@ def main(argv=None):
             if args.model == "base":
                 params, hist = fit_base(key, params, cfg, cano_pc, pc_list,
                                         flow_ctx=flow_ctx,
-                                        log_every=args.snapshot_gap)
+                                        log_every=args.snapshot_gap,
+                                        checkpoint_dir=save_dir)
             else:
                 params, hist = fit_kinematic(key, params, state, cfg, pc_list,
                                              flow_ctx=flow_ctx,
-                                             log_every=args.snapshot_gap)
+                                             log_every=args.snapshot_gap,
+                                             checkpoint_dir=save_dir)
             jax.block_until_ready(hist)
         print(f"fit done: final total_loss {float(hist['total_loss'][-1]):.3f}")
         tau = args.end_tau

@@ -306,6 +306,9 @@ def fit(
     fwd_ctx=None,
     two_group_opt: bool = False,
     log_every: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 2000,
+    max_retries: int = 2,
 ):
     """Run the full per-sequence fit. Returns (params, history dict).
 
@@ -314,7 +317,17 @@ def fit(
     printed `losses` dict (run_robot.py:186-216) in array form.
     log_every: print progress roughly every this many iterations (rounded to
     dispatch boundaries; forces a host sync per print).
+
+    Resilience (the reference has none — SURVEY §5): with `checkpoint_dir`,
+    optimizer state is snapshotted every `checkpoint_every` iterations and a
+    crashed fit resumes from the last snapshot on the next call; transient
+    device/tunnel failures are retried up to `max_retries` times per
+    dispatch — the step is a pure function of its inputs, so re-running a
+    chunk from its input state is always safe.
     """
+    import os
+    import pickle
+    import time as _time
 
     def _log(h, done, step_sz):
         if log_every is None:
@@ -325,6 +338,45 @@ def fit(
         last = {k: float(v.reshape(-1)[-1]) for k, v in h.items()}
         msg = " | ".join(f"{k}: {v:.3f}" for k, v in last.items() if v != 0.0)
         print(f"iteration {min(done, cfg.n_iter) - 1} | {msg}", flush=True)
+
+    def _dispatch(fn, *args):
+        """Re-dispatch on transient runtime failures (pure-functional steps)."""
+        for attempt in range(max_retries + 1):
+            try:
+                out = fn(*args)
+                # fence: on this backend only a transfer proves completion
+                jax.tree.map(
+                    lambda x: x.block_until_ready(),
+                    out, is_leaf=lambda x: hasattr(x, "block_until_ready"))
+                return out
+            except jax.errors.JaxRuntimeError:
+                if attempt == max_retries:
+                    raise
+                print(f"[fit] transient device failure, retrying dispatch "
+                      f"({attempt + 1}/{max_retries}) ...", flush=True)
+                _time.sleep(5.0 * (attempt + 1))
+
+    ckpt_path = (os.path.join(checkpoint_dir, "fit_state.pkl")
+                 if checkpoint_dir else None)
+
+    def _save_state(done, params, opt_state, price, hs_done):
+        if ckpt_path is None:
+            return
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        payload = {
+            "done": done,
+            "params": jax.tree.map(np.asarray, params),
+            "opt_state": jax.tree.map(np.asarray, opt_state),
+            "price": None if price is None else np.asarray(price),
+            "history": jax.tree.map(np.asarray, hs_done),
+        }
+        tmp = ckpt_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, ckpt_path)
+
+    import numpy as np
+
     cano_pc = jnp.asarray(cano_pc, jnp.float32)
     pc_list = jnp.asarray(pc_list, jnp.float32)
     tx = make_optimizer(params, cfg, two_groups=two_group_opt)
@@ -335,42 +387,74 @@ def fit(
     n_recon = min(cfg.assign_iter, cfg.n_iter) if use_assign else cfg.n_iter
     chunk = max(1, cfg.dispatch_chunk)
     history = []
+    resume_done = 0
+    price = None
 
-    if n_recon > 0:
+    if ckpt_path is not None and os.path.exists(ckpt_path):
+        with open(ckpt_path, "rb") as f:
+            saved = pickle.load(f)
+        resume_done = saved["done"]
+        params = jax.tree.map(jnp.asarray, saved["params"])
+        opt_state = jax.tree.map(jnp.asarray, saved["opt_state"])
+        price = (None if saved["price"] is None
+                 else jnp.asarray(saved["price"]))
+        history = [jax.tree.map(jnp.asarray, h) for h in saved["history"]]
+        print(f"[fit] resuming from iteration {resume_done}", flush=True)
+
+    last_saved = resume_done
+
+    if n_recon > 0 and resume_done < n_recon:
         # bounded dispatches of `chunk` iterations, one compiled program
         hs = []
-        for start in range(0, n_recon, chunk):
+        for start in range(resume_done, n_recon, chunk):
             its = start + jnp.arange(chunk)
-            (params, opt_state), h = recon_scan(
-                params, opt_state, its, n_recon, key, cano_pc, pc_list,
-                flow_ctx, fwd_ctx,
+            (params, opt_state), h = _dispatch(
+                recon_scan, params, opt_state, its, n_recon, key, cano_pc,
+                pc_list, flow_ctx, fwd_ctx,
             )
             hs.append(h)
+            done = min(start + chunk, n_recon)
             _log(h, start + chunk, chunk)
-        h = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_recon], *hs)
+            if ckpt_path and done - last_saved >= checkpoint_every:
+                _save_state(done, params, opt_state, None, history + hs)
+                last_saved = done
+        h = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs)[: n_recon - resume_done], *hs)
         history.append(h)
 
     if use_assign and cfg.n_iter > n_recon:
         actx = build_assign_context(cano_pc, pc_list, cfg.downsample)
+        assign_resume = max(0, resume_done - n_recon)
         remaining = cfg.n_iter - n_recon
         gap = max(1, cfg.assign_gap)
         n_outer = -(-remaining // gap)  # ceil
+        outer_resume = assign_resume // gap
         outer_chunk = max(1, chunk // gap)
         t_frames, num_fps = actx.pc_tgt.shape[:2]
-        price = jnp.zeros((t_frames, num_fps), jnp.float32)
+        if price is None:
+            price = jnp.zeros((t_frames, num_fps), jnp.float32)
         hs = []
-        for start in range(0, n_outer, outer_chunk):
+        for start in range(outer_resume, n_outer, outer_chunk):
             # pad the last dispatch to the common shape; padded outers are
             # fully masked by the it < n_iter check inside
             outer_its = n_recon + (start + jnp.arange(outer_chunk)) * gap
-            (params, opt_state, price), h = assign_scan(
-                params, opt_state, price, outer_its, key, cano_pc, pc_list,
-                flow_ctx, fwd_ctx, actx,
+            (params, opt_state, price), h = _dispatch(
+                assign_scan, params, opt_state, price, outer_its, key,
+                cano_pc, pc_list, flow_ctx, fwd_ctx, actx,
             )
             hs.append(jax.tree.map(lambda v: v.reshape(-1), h))
+            done = min(n_recon + (start + outer_chunk) * gap, cfg.n_iter)
             _log(h, n_recon + (start + outer_chunk) * gap, outer_chunk * gap)
-        h = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:remaining], *hs)
+            if ckpt_path and done - last_saved >= checkpoint_every:
+                _save_state(done, params, opt_state, price, history + hs)
+                last_saved = done
+        h = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs)[: remaining - outer_resume * gap],
+            *hs)
         history.append(h)
+
+    if ckpt_path is not None and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # fit completed: clear the resume snapshot
 
     hist = (
         jax.tree.map(lambda *xs: jnp.concatenate(xs), *history)
@@ -398,17 +482,19 @@ def _kinematic_forward_fn(params, key, tau, cano_pc, fwd_ctx):
 
 
 def fit_base(key, params, cfg, cano_pc, pc_list, flow_ctx=None,
-             log_every=None):
+             log_every=None, checkpoint_dir=None):
     """Relaxation-stage fit (reference `--model=base`)."""
     cano = jnp.asarray(cano_pc, jnp.float32)
     return fit(key, _base_forward_fn, params, cfg, cano, pc_list,
-               flow_ctx=flow_ctx, two_group_opt=True, log_every=log_every)
+               flow_ctx=flow_ctx, two_group_opt=True, log_every=log_every,
+               checkpoint_dir=checkpoint_dir)
 
 
 def fit_kinematic(key, params, state, cfg, pc_list, flow_ctx=None,
-                  log_every=None):
+                  log_every=None, checkpoint_dir=None):
     """Projection-stage fit (reference `--model=kinematic`): same loss stack,
     Adam over all params at trans_lr (run_robot.py:150-151)."""
     return fit(key, _kinematic_forward_fn, params, cfg, state.cano_pc,
                pc_list, flow_ctx=flow_ctx, fwd_ctx=state,
-               two_group_opt=False, log_every=log_every)
+               two_group_opt=False, log_every=log_every,
+               checkpoint_dir=checkpoint_dir)

@@ -157,3 +157,58 @@ def test_compiled_program_reuse_is_value_safe():
     # both fits converge on their own data; a baked-in first cloud makes the
     # second loss explode by orders of magnitude
     assert losses[1] < 100 * max(losses[0], 1e-3), losses
+
+
+def test_fit_checkpoint_resume(toy, tmp_path):
+    """Mid-run checkpointing: a fit interrupted between dispatches resumes
+    from the snapshot and matches an uninterrupted fit's trajectory."""
+    cano, pc_list, _ = toy
+    key = jax.random.PRNGKey(9)
+    kw = dict(n_iter=120, use_assign_loss=True, assign_iter=60, assign_gap=5,
+              start_tau=1.0, end_tau=1.0, dispatch_chunk=20)
+    cfg = FitConfig(**kw)
+    params = init_base_params(key, num_parts=3, pose_len=pc_list.shape[0])
+
+    # uninterrupted reference run
+    ref_params, ref_hist = fit_base(key, params, cfg, cano, pc_list)
+
+    # interrupted run: monkeypatch the scan cache to kill after 3 dispatches
+    import reart_tpu.train.engine as eng
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+    orig = eng.make_fit_fns
+
+    recon_scan, assign_scan = eng.make_fit_fns(
+        eng._base_forward_fn, cfg, True)
+
+    def killing_recon(*args):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash")
+        return recon_scan(*args)
+
+    try:
+        eng.make_fit_fns = lambda *a, **k: (killing_recon, assign_scan)
+        with pytest.raises(RuntimeError):
+            eng.fit(key, eng._base_forward_fn, params, cfg,
+                    jnp.asarray(cano), jnp.asarray(pc_list),
+                    two_group_opt=True, checkpoint_dir=ckpt_dir,
+                    checkpoint_every=40)
+    finally:
+        eng.make_fit_fns = orig
+    import os
+
+    assert os.path.exists(os.path.join(ckpt_dir, "fit_state.pkl"))
+
+    # resume completes and matches the uninterrupted trajectory
+    res_params, res_hist = eng.fit(
+        key, eng._base_forward_fn, params, cfg, jnp.asarray(cano),
+        jnp.asarray(pc_list), two_group_opt=True, checkpoint_dir=ckpt_dir)
+    assert res_hist["total_loss"].shape == (120,)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        res_params, ref_params)
+    # snapshot cleaned up after completion
+    assert not os.path.exists(os.path.join(ckpt_dir, "fit_state.pkl"))
