@@ -133,6 +133,147 @@ def nn_topk_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int):
     return jnp.clip(d_out, min=0.0), i_out
 
 
+def _bidir_kernel(q_ref, r_ref, fd_ref, fi_ref, bd_ref, bi_ref,
+                  sd_ref, si_ref):
+    """Fused bidirectional 1-NN: each (TN, TM) distance tile is computed ONCE
+    and reduced along BOTH axes. Grid (B, N/TN, M/TM), j innermost.
+
+    NOTE: measured SLOWER than two single-direction kernels end-to-end on
+    v5e (27 vs 40 iters/sec on the nao fit) — the scratch dynamic-slice
+    accumulation and extra masked index reductions cost more than the saved
+    distance recompute, so chamfer does NOT dispatch here. Kept as tested
+    infrastructure for future tuning.
+
+    Forward (src->tgt) accumulates in the revisited (1, 1, TN) output block
+    (index ignores only the innermost dim). Reverse (tgt->src) accumulates in
+    a persistent (1, Mp) VMEM scratch — its column slice j is final once
+    i == nI-1, at which point it is flushed into the (1, 1, Mp) output block.
+    """
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n_i = pl.num_programs(1)
+    q = q_ref[0]  # (TN, 3)
+    r = r_ref[0]  # (TM, 3)
+    tn, tm = q.shape[0], r.shape[0]
+
+    d = jnp.zeros((tn, tm), jnp.float32)
+    for c in range(3):
+        diff = q[:, c:c + 1] - r[:, c].reshape(1, -1)
+        d = d + diff * diff
+
+    # ---- forward: row minima, accumulated over j in the output block ----
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + j * tm
+    row_min = jnp.min(d, axis=1)  # (TN,)
+    row_arg = jnp.min(
+        jnp.where(d == row_min[:, None], cols, jnp.iinfo(jnp.int32).max),
+        axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        fd_ref[0, 0] = row_min
+        fi_ref[0, 0] = row_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = row_min < fd_ref[0, 0]
+        fd_ref[0, 0] = jnp.where(better, row_min, fd_ref[0, 0])
+        fi_ref[0, 0] = jnp.where(better, row_arg, fi_ref[0, 0])
+
+    # ---- reverse: column minima, accumulated over i in VMEM scratch ------
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 0) + i * tn
+    col_min = jnp.min(d, axis=0)  # (TM,)
+    col_arg = jnp.min(
+        jnp.where(d == col_min[None, :], rows, jnp.iinfo(jnp.int32).max),
+        axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        sd_ref[0, pl.ds(j * tm, tm)] = col_min
+        si_ref[0, pl.ds(j * tm, tm)] = col_arg
+
+    @pl.when(i > 0)
+    def _():
+        prev_d = sd_ref[0, pl.ds(j * tm, tm)]
+        prev_i = si_ref[0, pl.ds(j * tm, tm)]
+        better = col_min < prev_d
+        sd_ref[0, pl.ds(j * tm, tm)] = jnp.where(better, col_min, prev_d)
+        si_ref[0, pl.ds(j * tm, tm)] = jnp.where(better, col_arg, prev_i)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        bd_ref[0, 0, pl.ds(j * tm, tm)] = sd_ref[0, pl.ds(j * tm, tm)]
+        bi_ref[0, 0, pl.ds(j * tm, tm)] = si_ref[0, pl.ds(j * tm, tm)]
+
+
+@jax.jit
+def nn_bidir_pallas(src: jnp.ndarray, tgt: jnp.ndarray):
+    """Fused bidirectional 1-NN. src (B, N, 3), tgt (B, M, 3) ->
+    (fwd_sqdist (B, N), fwd_idx (B, N), bwd_sqdist (B, M), bwd_idx (B, M))."""
+    src = src.astype(jnp.float32)
+    tgt = tgt.astype(jnp.float32)
+    b = src.shape[0]
+    qp, n = _pad_points(src, TILE_N)
+    rp, m = _pad_points(tgt, TILE_M)
+    np_, mp = qp.shape[1], rp.shape[1]
+
+    grid = (b, np_ // TILE_N, mp // TILE_M)
+    fd, fi, bd, bi = pl.pallas_call(
+        _bidir_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE_N, 3), lambda bi_, i, j: (bi_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M, 3), lambda bi_, i, j: (bi_, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TILE_N), lambda bi_, i, j: (bi_, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_N), lambda bi_, i, j: (bi_, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mp), lambda bi_, i, j: (bi_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mp), lambda bi_, i, j: (bi_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, mp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, mp), jnp.float32),
+            pltpu.VMEM((1, mp), jnp.int32),
+        ],
+    )(qp, rp)
+    return (jnp.clip(fd[:, 0, :n], min=0.0), fi[:, 0, :n],
+            jnp.clip(bd[:, 0, :m], min=0.0), bi[:, 0, :m])
+
+
+def nn_bidir(src: jnp.ndarray, tgt: jnp.ndarray):
+    """Bidirectional 1-NN with automatic kernel dispatch (non-differentiable;
+    consumers recompute distances by gathering). src (..., N, 3),
+    tgt (..., M, 3)."""
+    if not use_pallas(src.shape, tgt.shape):
+        from reart_tpu.ops.distance import pairwise_sqdist
+
+        sq = pairwise_sqdist(src, tgt)
+        fi = jnp.argmin(sq, axis=-1)
+        fd = jnp.take_along_axis(sq, fi[..., None], axis=-1)[..., 0]
+        bi = jnp.argmin(sq, axis=-2)
+        bd = jnp.take_along_axis(sq, bi[..., None, :], axis=-2)[..., 0, :]
+        return fd, fi, bd, bi
+    batch = src.shape[:-2]
+    s = jax.lax.stop_gradient(src).reshape((-1,) + src.shape[-2:])
+    t = jax.lax.stop_gradient(
+        jnp.broadcast_to(tgt, batch + tgt.shape[-2:])
+    ).reshape((-1,) + tgt.shape[-2:])
+    fd, fi, bd, bi = nn_bidir_pallas(s, t)
+    rs = lambda x: x.reshape(batch + x.shape[-1:])
+    return rs(fd), rs(fi), rs(bd), rs(bi)
+
+
 def use_pallas(query_shape, ref_shape) -> bool:
     """Kernel pays off when the distance matrix is big enough that HBM
     traffic dominates, and we are actually on TPU. Set

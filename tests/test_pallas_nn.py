@@ -52,3 +52,30 @@ def test_dispatch_fallback_small_shapes():
     d_j, i_j = jnp_topk(q, r, 3)
     np.testing.assert_array_equal(np.asarray(i), i_j)
     np.testing.assert_allclose(np.asarray(d), d_j, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n,m", [(TILE_N, TILE_M), (300, 1500),
+                                 (TILE_N * 2, TILE_M * 2)])
+def test_bidir_kernel_matches_jnp(n, m):
+    from reart_tpu.ops.pallas_nn import nn_bidir_pallas
+
+    rng = np.random.RandomState(3)
+    src = rng.randn(2, n, 3).astype(np.float32)
+    tgt = rng.randn(2, m, 3).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        fd, fi, bd, bi = nn_bidir_pallas(jnp.asarray(src), jnp.asarray(tgt))
+    sq = np.asarray(pairwise_sqdist(jnp.asarray(src), jnp.asarray(tgt)))
+    np.testing.assert_array_equal(np.asarray(fi), sq.argmin(-1))
+    np.testing.assert_array_equal(np.asarray(bi), sq.argmin(-2))
+    np.testing.assert_allclose(np.asarray(fd), sq.min(-1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bd), sq.min(-2), rtol=1e-4, atol=1e-5)
+
+
+def test_bidir_ties_to_lower_index():
+    from reart_tpu.ops.pallas_nn import nn_bidir_pallas
+
+    src = jnp.zeros((1, TILE_N * 2, 3))
+    tgt = jnp.zeros((1, TILE_M * 2, 3))
+    with pltpu.force_tpu_interpret_mode():
+        _, fi, _, bi = nn_bidir_pallas(src, tgt)
+    assert int(fi.max()) == 0 and int(bi.max()) == 0
