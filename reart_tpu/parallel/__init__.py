@@ -23,4 +23,5 @@ from reart_tpu.parallel.mesh import (
     replicated_spec,
     make_batched_fit_step,
     init_batched_params,
+    fit_batch,
 )

@@ -140,3 +140,29 @@ def make_batched_fit_step(mesh: Mesh, tx: optax.GradientTransformation,
         )
 
     return jax.jit(step, donate_argnums=(0, 1)), shard_args
+
+
+def fit_batch(key, params, cano_pc, pc_list, n_iter: int, mesh: Mesh = None,
+              lr: float = 1e-2, tau: float = 1.0, use_assign: bool = False,
+              downsample: int = 4):
+    """Fit a BATCH of sequences in lockstep across the mesh.
+
+    cano_pc (B, N, 3), pc_list (B, T, N, 3); params from
+    init_batched_params. Returns (params, losses (B,)) after n_iter steps.
+    The reference fits one sequence per process; this is the multi-chip
+    sweep path (SAPIEN benchmark sweeps, cano-frame selection batches).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    step, shard_args = make_batched_fit_step(
+        mesh, tx, tau=tau, use_assign=use_assign, downsample=downsample)
+    args = shard_args(params, opt_state, jnp.asarray(cano_pc, jnp.float32),
+                      jnp.asarray(pc_list, jnp.float32),
+                      jax.random.split(key, cano_pc.shape[0]))
+    params, opt_state = args[0], args[1]
+    losses = None
+    for _ in range(n_iter):
+        params, opt_state, losses = step(params, opt_state, *args[2:])
+    return params, losses

@@ -81,3 +81,35 @@ def test_dryrun_entrypoint():
         assert out[0].shape == (7, 4096, 3)
     finally:
         sys.path.pop(0)
+
+
+def test_fit_batch_converges(problem):
+    """Public batched sweep API: all sequences converge in lockstep."""
+    from reart_tpu.parallel import fit_batch
+
+    params, cano, pcs, keys = problem
+    mesh = make_mesh(4, seq=2, frame=2)
+    fitted, losses = fit_batch(jax.random.PRNGKey(0), params, cano, pcs,
+                               n_iter=30, mesh=mesh, use_assign=True)
+    l0 = np.asarray(losses)
+    assert np.all(np.isfinite(l0)) and l0.shape == (4,)
+
+
+def test_hostops_region():
+    from reart_tpu.hostops import on_host
+
+    with on_host():
+        x = jnp.ones((8, 8))
+        y = (x @ x).sum()
+        assert float(y) == 512.0
+        assert list(y.devices())[0].platform == "cpu"
+
+
+def test_profiling_phase_timer(capsys):
+    from reart_tpu.profiling import phase_report, phase_timer, reset_phases
+
+    reset_phases()
+    with phase_timer("unit-test-phase"):
+        pass
+    rep = phase_report()
+    assert "unit-test-phase" in rep and rep["unit-test-phase"] >= 0.0
