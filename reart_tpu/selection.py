@@ -2,10 +2,9 @@
 
 The reference README (README.md:60) tells the USER to re-run the whole fit
 once per candidate canonical frame and keep the lowest-energy result — a
-manual sweep of full processes. Here it is one call. Candidate fits share
-shapes; the canonical cloud is a traced argument of the compiled programs,
-though each distinct cano_idx still compiles its own program (the canonical
-frame's position in the concatenation is static). Energies use the same
+manual sweep of full processes. Here it is one call: the canonical cloud
+AND the canonical index are traced arguments of the compiled fit programs,
+so every candidate frame reuses one compilation. Energies use the same
 ass+screw(+group) formula the drivers print (run_robot.py:306-321).
 """
 

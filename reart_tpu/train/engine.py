@@ -142,23 +142,32 @@ def make_optimizer(params, cfg: FitConfig, two_groups: bool):
     )
 
 
-def _complete(pc_trans_list, cano_pc, cano_idx: int):
-    """Re-insert the canonical frame at its original position."""
-    return jnp.concatenate(
-        [pc_trans_list[:cano_idx], cano_pc[None], pc_trans_list[cano_idx:]], axis=0
-    )
+def _complete(pc_trans_list, cano_pc, cano_idx):
+    """Re-insert the canonical frame at its original position.
+
+    cano_idx may be a TRACED scalar: implemented as a gather over a computed
+    source-index vector, so one compiled program serves every canonical
+    frame (static concatenation would force a recompile per cano_idx —
+    minutes each over remote compile — during selection sweeps)."""
+    t = pc_trans_list.shape[0] + 1
+    stacked = jnp.concatenate([pc_trans_list, cano_pc[None]], axis=0)
+    pos = jnp.arange(t)
+    src = jnp.where(pos < cano_idx, pos,
+                    jnp.where(pos == cano_idx, t - 1, pos - 1))
+    return stacked[src]
 
 
-def _flow_term(pc_trans_list, cano_pc, flow_ctx: FlowContext, cfg: FitConfig):
+def _flow_term(pc_trans_list, cano_pc, flow_ctx: FlowContext, cfg: FitConfig,
+               cano_idx):
     """Blend reference flows onto predicted source points (no-grad) and apply
     the masked flow loss (reference run_robot.py:195-213)."""
-    query_list = _complete(pc_trans_list, cano_pc, cfg.cano_idx)[:-1]  # (T-1, N, 3)
+    complete_pred = _complete(pc_trans_list, cano_pc, cano_idx)
+    query_list = complete_pred[:-1]  # (T-1, N, 3)
     blended, mask = jax.vmap(
         functools.partial(blend_anchor_motion, return_mask=True)
     )(query_list, flow_ctx.pc_ref, flow_ctx.flow_ref)
     blended = jax.lax.stop_gradient(blended)
     mask = jax.lax.stop_gradient(mask)
-    complete_pred = _complete(pc_trans_list, cano_pc, cfg.cano_idx)
     pred_flow = complete_pred[1:] - complete_pred[:-1]
     return cfg.lambda_flow * _flow_loss(
         blended, pred_flow, flow_mask_list=mask, robust=cfg.use_robust_loss
@@ -189,8 +198,8 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
     def make_tx(params):
         return make_optimizer(params, cfg, two_groups=two_group_opt)
 
-    def loss_fn(params, it, key, cano_pc, pc_list, flow_ctx, fwd_ctx, perm,
-                actx):
+    def loss_fn(params, it, key, cano_pc, pc_list, flow_ctx, fwd_ctx,
+                cano_idx, perm, actx):
         step_key = jax.random.fold_in(key, it)
         tau = tau_fn(it + 1)
         pc_trans_list, seg, trans_list = forward_fn(
@@ -205,7 +214,8 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
             )
             terms["ass_loss"] = cfg.lambda_assign * jnp.sum((pc_src - matched) ** 2)
         if flow_ctx is not None and cfg.use_flow_loss:
-            terms["flow_loss"] = _flow_term(pc_trans_list, cano_pc, flow_ctx, cfg)
+            terms["flow_loss"] = _flow_term(pc_trans_list, cano_pc, flow_ctx,
+                                            cfg, cano_idx)
         total = functools.reduce(jnp.add, terms.values())
         terms["total_loss"] = total
         return total, terms
@@ -217,10 +227,11 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
         }
 
     def step(tx, carry, it, key, cano_pc, pc_list, flow_ctx, fwd_ctx,
-             perm=None, actx=None):
+             cano_idx, perm=None, actx=None):
         params, opt_state = carry
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, it, key, cano_pc, pc_list, flow_ctx, fwd_ctx, perm, actx
+            params, it, key, cano_pc, pc_list, flow_ctx, fwd_ctx, cano_idx,
+            perm, actx
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -228,14 +239,14 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
 
     @jax.jit
     def recon_scan(params, opt_state, its, limit, key, cano_pc, pc_list,
-                   flow_ctx, fwd_ctx):
+                   flow_ctx, fwd_ctx, cano_idx):
         """One bounded dispatch of recon-phase steps; iterations >= limit
         (chunk padding) are masked no-ops."""
         tx = make_tx(params)
 
         def body(carry, it):
             c_new, logs = step(tx, carry, it, key, cano_pc, pc_list, flow_ctx,
-                               fwd_ctx)
+                               fwd_ctx, cano_idx)
             keep = it < limit
             c_kept = jax.tree.map(
                 lambda new, old: jnp.where(keep, new, old), c_new, carry
@@ -249,7 +260,7 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
 
     @jax.jit
     def assign_scan(params, opt_state, price, outer_its, key, cano_pc,
-                    pc_list, flow_ctx, fwd_ctx, actx):
+                    pc_list, flow_ctx, fwd_ctx, cano_idx, actx):
         """One bounded dispatch of assignment-phase chunks. outer_its:
         (n_outer,) global iteration index of each chunk start; each chunk =
         one LAP solve + `gap` gradient steps (iterations past n_iter are
@@ -279,7 +290,8 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
             def inner(c, j):
                 it = it0 + j
                 (p2, o2), logs = step(tx, c[:2], it, key, cano_pc, pc_list,
-                                      flow_ctx, fwd_ctx, perm=perm, actx=actx)
+                                      flow_ctx, fwd_ctx, cano_idx,
+                                      perm=perm, actx=actx)
                 keep = it < cfg.n_iter
                 c_kept = jax.tree.map(
                     lambda new, old: jnp.where(keep, new, old), (p2, o2), c[:2]
@@ -381,7 +393,12 @@ def fit(
     pc_list = jnp.asarray(pc_list, jnp.float32)
     tx = make_optimizer(params, cfg, two_groups=two_group_opt)
     opt_state = tx.init(params)
-    recon_scan, assign_scan = make_fit_fns(forward_fn, cfg, two_group_opt)
+    # cano_idx is a TRACED argument of the compiled programs (selection
+    # sweeps reuse one program across candidate frames) — normalize it out
+    # of the cache key
+    cano_idx = jnp.asarray(cfg.cano_idx, jnp.int32)
+    cfg_key = dataclasses.replace(cfg, cano_idx=0)
+    recon_scan, assign_scan = make_fit_fns(forward_fn, cfg_key, two_group_opt)
 
     use_assign = cfg.use_assign_loss and cfg.assign_iter < cfg.n_iter
     n_recon = min(cfg.assign_iter, cfg.n_iter) if use_assign else cfg.n_iter
@@ -410,7 +427,7 @@ def fit(
             its = start + jnp.arange(chunk)
             (params, opt_state), h = _dispatch(
                 recon_scan, params, opt_state, its, n_recon, key, cano_pc,
-                pc_list, flow_ctx, fwd_ctx,
+                pc_list, flow_ctx, fwd_ctx, cano_idx,
             )
             hs.append(h)
             done = min(start + chunk, n_recon)
@@ -440,7 +457,7 @@ def fit(
             outer_its = n_recon + (start + jnp.arange(outer_chunk)) * gap
             (params, opt_state, price), h = _dispatch(
                 assign_scan, params, opt_state, price, outer_its, key,
-                cano_pc, pc_list, flow_ctx, fwd_ctx, actx,
+                cano_pc, pc_list, flow_ctx, fwd_ctx, cano_idx, actx,
             )
             hs.append(jax.tree.map(lambda v: v.reshape(-1), h))
             done = min(n_recon + (start + outer_chunk) * gap, cfg.n_iter)
