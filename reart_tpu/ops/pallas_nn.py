@@ -45,10 +45,10 @@ def _ksmallest(vals, idxs, k: int):
     out_v, out_i = [], []
     v = vals
     for _ in range(k):
-        m = jnp.min(v, axis=1, keepdims=True)  # (R, 1)
-        first = jnp.min(jnp.where(v == m, pos, w), axis=1, keepdims=True)
-        sel = pos == first  # exactly one per row
-        out_v.append(m[:, 0])
+        m = jnp.min(v, axis=1)                        # (R,)
+        first = jnp.argmin(v, axis=1).astype(jnp.int32)  # first min = low pos
+        sel = pos == first[:, None]
+        out_v.append(m)
         out_i.append(jnp.sum(jnp.where(sel, idxs, 0), axis=1))
         v = jnp.where(sel, jnp.inf, v)
     return jnp.stack(out_v, axis=1), jnp.stack(out_i, axis=1)
