@@ -97,6 +97,12 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     if domain in ("robot", "real"):
         p.add_argument("--corr_model_path",
                        default="pretrained/corr_model.pth.tar", type=str)
+        p.add_argument("--flow_provider", default="corr",
+                       choices=["corr", "gt"],
+                       help="flow supervision source: the frozen corr model "
+                            "(reference protocol) or GT correspondences "
+                            "(robot datasets carry per-point GT; useful when "
+                            "the corr checkpoint is unavailable)")
     if domain == "sapien":
         p.add_argument("--sapien_base_folder", default="data/mbs-sapien", type=str)
         p.add_argument("--sapien_idx", default=212, type=int)
@@ -167,6 +173,15 @@ def setup_flow(args, domain: str, dataset, sample):
             pc_refs.append(complete[t][keep])
             flow_refs.append(flow[t][keep])
         return FlowContext.from_lists(pc_refs, flow_refs)
+
+    if domain == "robot" and getattr(args, "flow_provider", "corr") == "gt":
+        # GT-correspondence flow anchors (per-point GT poses in the dataset)
+        from reart_tpu.train import FlowContext
+
+        gt = sample["complete_gt_pc_list"]
+        return FlowContext.from_lists(
+            [gt[i] for i in range(gt.shape[0] - 1)],
+            [gt[i + 1] - gt[i] for i in range(gt.shape[0] - 1)])
 
     # robot / real: frozen corr model + SMNN matching
     from reart_tpu.models.pointnet2 import apply_pointnet2msg2, load_corr_model

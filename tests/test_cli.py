@@ -123,3 +123,20 @@ def test_robot_base_then_kinematic(robot_dir, tmp_path):
     payload = ckpt.load_checkpoint(os.path.join(kin_dir, "model.ckpt.pkl"))
     state = ckpt.restore_kinematic_state(payload)
     assert state.num_parts >= 2
+
+
+@pytest.mark.slow
+def test_robot_gt_flow_provider(robot_dir, tmp_path):
+    """--flow_provider gt trains with GT-correspondence flow supervision."""
+    save_root = str(tmp_path / "exp_flow")
+    cli_main([
+        "robot", "--seq_path", robot_dir, "--save_root", save_root,
+        "--n_iter", "150", "--use_flow_loss", "--flow_provider", "gt",
+        "--num_parts", "4", "--start_tau", "2", "--end_tau", "0.5",
+        "--num_points", "360", "--snapshot_gap", "1000",
+    ])
+    txt = open(os.path.join(save_root, os.path.basename(robot_dir),
+                            "result.txt")).read()
+    ri = float([l for l in txt.splitlines()
+                if l.startswith("seg_ri")][0].split(":")[1])
+    assert ri > 0.6, txt
