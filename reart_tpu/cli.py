@@ -233,31 +233,37 @@ def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
                 cano_dist_thr=args.cano_dist_thr,
                 joint_cost_weight=args.lambda_joint)
 
-    new_seg, new_trans, new_conn = extract_kinematic(
-        seg_part, trans_list, joint_connection)
-    t_frames = new_trans.shape[0]
+    # screw extraction / graph build: P/E-dependent shapes -> host backend
+    # (a fresh remote compile per part count otherwise; see hostops)
+    with on_host():
+        new_seg, new_trans, new_conn = extract_kinematic(
+            seg_part, trans_list, joint_connection)
+        t_frames = new_trans.shape[0]
 
-    if domain == "robot":
-        g, root, axis, moment, theta, edge_index = build_graph(
-            new_conn, new_trans, revolute_only=True)
-        state = make_kinematic_state(new_seg, cano_pc, list(g.edges()), root)
-        params = init_kinematic_params(
-            t_frames, state.num_edges, axis_list=axis, moment_list=moment,
-            theta_list=theta)
-    else:
-        root_part = int(np.bincount(np.asarray(new_seg)).argmax())
-        root_trans = jnp.asarray(new_trans)[:, root_part]
-        align_trans = compute_align_trans(jnp.asarray(new_trans), root_trans)
-        (g, root, axis, moment, theta, distance, edge_index,
-         joint_type_list) = build_graph(
-            new_conn, align_trans, revolute_only=False, root_part=root_part,
-            return_joint_type=True)
-        state = make_kinematic_state(new_seg, cano_pc, list(g.edges()), root,
-                                     joint_types=joint_type_list,
-                                     has_root_trans=True)
-        params = init_kinematic_params(
-            t_frames, state.num_edges, axis_list=axis, moment_list=moment,
-            theta_list=theta, distance_list=distance, root_trans=root_trans)
+        if domain == "robot":
+            g, root, axis, moment, theta, edge_index = build_graph(
+                new_conn, new_trans, revolute_only=True)
+            state = make_kinematic_state(new_seg, cano_pc, list(g.edges()),
+                                         root)
+            params = init_kinematic_params(
+                t_frames, state.num_edges, axis_list=axis, moment_list=moment,
+                theta_list=theta)
+        else:
+            root_part = int(np.bincount(np.asarray(new_seg)).argmax())
+            root_trans = jnp.asarray(new_trans)[:, root_part]
+            align_trans = compute_align_trans(jnp.asarray(new_trans),
+                                              root_trans)
+            (g, root, axis, moment, theta, distance, edge_index,
+             joint_type_list) = build_graph(
+                new_conn, align_trans, revolute_only=False,
+                root_part=root_part, return_joint_type=True)
+            state = make_kinematic_state(new_seg, cano_pc, list(g.edges()),
+                                         root, joint_types=joint_type_list,
+                                         has_root_trans=True)
+            params = init_kinematic_params(
+                t_frames, state.num_edges, axis_list=axis, moment_list=moment,
+                theta_list=theta, distance_list=distance,
+                root_trans=root_trans)
     return params, state
 
 
@@ -283,6 +289,12 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
     from reart_tpu import viz
 
     from reart_tpu.hostops import on_host
+    from reart_tpu.profiling import phase_timer
+
+    quiet = getattr(args, "silence", False)
+
+    def sub(name):
+        return phase_timer(f"finalize/{name}", verbose=not quiet)
 
     cano_pc = jnp.asarray(sample["cano_pc"], jnp.float32)
     cano_idx = args.cano_idx
@@ -297,7 +309,7 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
 
     # graph stage on the host backend: tiny P-dependent programs would
     # otherwise recompile over the TPU tunnel for every new part count
-    with on_host():
+    with sub("graph"), on_host():
         seg_part = np.asarray(denoise_seg_label(seg_part, cano_pc, min_num=20))
         if not is_kinematic and len(np.unique(seg_part)) > 1:
             seg_part = np.asarray(merging_wrapper(
@@ -321,8 +333,9 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
             trans_list = np.asarray(trans_list)[:, lab:lab + 1]
     joint_connection_list = np.asarray(joint_connection).tolist()
 
-    pred_pc = compute_pc_transform(cano_pc, jnp.asarray(trans_list),
-                                   jnp.asarray(seg_part))
+    with on_host():
+        pred_pc = compute_pc_transform(cano_pc, jnp.asarray(trans_list),
+                                       jnp.asarray(seg_part))
     pred_pc_np = np.asarray(pred_pc)
     complete_pred = np.concatenate(
         [pred_pc_np[:cano_idx], np.asarray(cano_pc)[None], pred_pc_np[cano_idx:]], 0)
@@ -331,55 +344,61 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
     lines = []
 
     has_gt = "gt_flow_list" in sample
-    if has_gt:
-        pred_flow = complete_pred[1:] - complete_pred[:-1]
-        if domain == "robot":
-            epe, acc1, acc2, angle = M.eval_flow(
-                pred_flow, sample["gt_flow_list"], 0.005, 0.01)
-            epe *= 100.0
-            results.update(flow_epe=epe, flow_acc5=acc1, flow_acc10=acc2,
-                           flow_angle=angle)
-        ri = M.eval_seg(jnp.asarray(sample["gt_cano_part"]), jnp.asarray(seg_part))
-        results["seg_ri"] = ri
-        mse = np.sqrt(((complete_pred - sample["complete_gt_pc_list"]) ** 2
-                       ).sum(-1)).mean(1).mean()
-        results["recon_err"] = float(mse) * (100.0 if domain == "robot" else 1.0)
+    with sub("metrics"), on_host():
+        if has_gt:
+            pred_flow = complete_pred[1:] - complete_pred[:-1]
+            if domain == "robot":
+                epe, acc1, acc2, angle = M.eval_flow(
+                    pred_flow, sample["gt_flow_list"], 0.005, 0.01)
+                epe *= 100.0
+                results.update(flow_epe=epe, flow_acc5=acc1, flow_acc10=acc2,
+                               flow_angle=angle)
+            ri = M.eval_seg(jnp.asarray(sample["gt_cano_part"]),
+                            jnp.asarray(seg_part))
+            results["seg_ri"] = ri
+            mse = np.sqrt(((complete_pred - sample["complete_gt_pc_list"]) ** 2
+                           ).sum(-1)).mean(1).mean()
+            results["recon_err"] = float(mse) * (100.0 if domain == "robot" else 1.0)
 
-    cd = M.compute_chamfer_list(pred_pc_np, sample["pc_list"], reduction="mean")
-    results["cd_err"] = cd * (100.0 if domain == "robot" else 1.0)
+        cd = M.compute_chamfer_list(pred_pc_np, sample["pc_list"],
+                                    reduction="mean")
+        results["cd_err"] = cd * (100.0 if domain == "robot" else 1.0)
 
     if domain == "sapien" and "gt_full_flow" in sample:
         from reart_tpu.sapien_eval import (
             compute_full_flow, eval_full_flow, seg_propagation_list)
 
-        seg_list = seg_propagation_list(sample["pc_list"], pred_pc_np, seg_part)
-        eye = jnp.eye(4)[None, None].repeat(trans_list.shape[1], 1)
-        complete_trans = jnp.concatenate(
-            [jnp.asarray(trans_list)[:cano_idx], eye,
-             jnp.asarray(trans_list)[cano_idx:]], 0)
-        complete_seg = jnp.concatenate(
-            [seg_list[:cano_idx], jnp.asarray(seg_part)[None],
-             seg_list[cano_idx:]], 0)
-        full_flow = compute_full_flow(sample["complete_pc_list"], complete_seg,
-                                      complete_trans)
-        results["full_flow_epe"] = 100.0 * eval_full_flow(
-            full_flow, sample["gt_full_flow"])
-        per_ri = np.mean([
-            M.eval_seg(g, p) for g, p in
-            zip(jnp.asarray(sample["complete_gt_part_list"]), complete_seg)])
-        results["per_scan_ri"] = float(per_ri)
-        results["multi_scan_ri"] = M.eval_seg(
-            jnp.asarray(sample["complete_gt_part_list"]).reshape(-1),
-            complete_seg.reshape(-1))
+        with sub("sapien_eval"), on_host():
+            seg_list = seg_propagation_list(sample["pc_list"], pred_pc_np,
+                                            seg_part)
+            eye = jnp.eye(4)[None, None].repeat(trans_list.shape[1], 1)
+            complete_trans = jnp.concatenate(
+                [jnp.asarray(trans_list)[:cano_idx], eye,
+                 jnp.asarray(trans_list)[cano_idx:]], 0)
+            complete_seg = jnp.concatenate(
+                [seg_list[:cano_idx], jnp.asarray(seg_part)[None],
+                 seg_list[cano_idx:]], 0)
+            full_flow = compute_full_flow(sample["complete_pc_list"],
+                                          complete_seg, complete_trans)
+            results["full_flow_epe"] = 100.0 * eval_full_flow(
+                full_flow, sample["gt_full_flow"])
+            per_ri = np.mean([
+                M.eval_seg(g, p) for g, p in
+                zip(jnp.asarray(sample["complete_gt_part_list"]), complete_seg)])
+            results["per_scan_ri"] = float(per_ri)
+            results["multi_scan_ri"] = M.eval_seg(
+                jnp.asarray(sample["complete_gt_part_list"]).reshape(-1),
+                complete_seg.reshape(-1))
 
     # retargeting (robot kinematic only — run_robot.py:286-290)
     if domain == "robot":
         if is_kinematic:
             from reart_tpu.ik import ik
 
-            results["retarget_err"] = ik(
-                dataset, "kinematic", params, state=state, tau=tau,
-                save_dir=save_dir, save_vis=True)
+            with sub("ik"), on_host():
+                results["retarget_err"] = ik(
+                    dataset, "kinematic", params, state=state, tau=tau,
+                    save_dir=save_dir, save_vis=True)
         else:
             results["retarget_err"] = 9999.0
 
@@ -387,21 +406,23 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
         from reart_tpu.data.common import load_gt_graph
         from reart_tpu.graph.ted import compute_ted, find_root_node
 
-        root_cost = np.asarray(compute_root_cost(jnp.asarray(trans_list)))
-        labels = (np.unique(joint_connection)
-                  if len(joint_connection_list) else np.array([0]))
-        pred_root = int(labels[root_cost.argmin()])
-        _, gt_edges = load_gt_graph(args.seq_path)
-        results["ted"] = compute_ted(joint_connection_list, pred_root,
-                                     gt_edges, find_root_node(gt_edges))
+        with sub("ted"), on_host():
+            root_cost = np.asarray(compute_root_cost(jnp.asarray(trans_list)))
+            labels = (np.unique(joint_connection)
+                      if len(joint_connection_list) else np.array([0]))
+            pred_root = int(labels[root_cost.argmin()])
+            _, gt_edges = load_gt_graph(args.seq_path)
+            results["ted"] = compute_ted(joint_connection_list, pred_root,
+                                         gt_edges, find_root_node(gt_edges))
 
     # energy (train only — run_robot.py:305-321, run_sapien.py:323-331)
     if not args.evaluate:
-        energy = M.energy(
-            pred_pc, jnp.asarray(sample["pc_list"], jnp.float32),
-            jnp.asarray(trans_list), jnp.asarray(joint_connection), seg_part,
-            complete_pred_pc_list=jnp.asarray(complete_pred),
-            include_group=domain == "robot")
+        with sub("energy"), on_host():
+            energy = M.energy(
+                pred_pc, jnp.asarray(sample["pc_list"], jnp.float32),
+                jnp.asarray(trans_list), jnp.asarray(joint_connection),
+                seg_part, complete_pred_pc_list=jnp.asarray(complete_pred),
+                include_group=domain == "robot")
         results.update(energy)
 
         ckpt.save_result(
@@ -412,20 +433,21 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
             state=state)
 
     # artifacts
-    viz.vis_pc_seq(complete_pred, pred_part=seg_part, name="reconstruct",
-                   save_path=os.path.join(save_dir, "recon.gif"))
-    if has_gt:
-        viz.vis_pc_seq(sample["complete_gt_pc_list"],
-                       pred_part=sample["gt_cano_part"], name="gt",
-                       save_path=os.path.join(save_dir, "gt.gif"))
-        viz.vis_pc(np.asarray(cano_pc), seg_part,
-                   gt_part=sample["gt_cano_part"],
-                   save_path=os.path.join(save_dir, "seg.html"))
-    else:
-        viz.vis_pc(np.asarray(cano_pc), seg_part,
-                   save_path=os.path.join(save_dir, "seg.html"))
-    viz.vis_structure(np.asarray(cano_pc), seg_part, joint_connection_list,
-                      save_path=os.path.join(save_dir, "structure.html"))
+    with sub("viz"):
+        viz.vis_pc_seq(complete_pred, pred_part=seg_part, name="reconstruct",
+                       save_path=os.path.join(save_dir, "recon.gif"))
+        if has_gt:
+            viz.vis_pc_seq(sample["complete_gt_pc_list"],
+                           pred_part=sample["gt_cano_part"], name="gt",
+                           save_path=os.path.join(save_dir, "gt.gif"))
+            viz.vis_pc(np.asarray(cano_pc), seg_part,
+                       gt_part=sample["gt_cano_part"],
+                       save_path=os.path.join(save_dir, "seg.html"))
+        else:
+            viz.vis_pc(np.asarray(cano_pc), seg_part,
+                       save_path=os.path.join(save_dir, "seg.html"))
+        viz.vis_structure(np.asarray(cano_pc), seg_part, joint_connection_list,
+                          save_path=os.path.join(save_dir, "structure.html"))
 
     for k, v in results.items():
         lines.append(f"{k}: {v:.3f}")
@@ -548,10 +570,20 @@ def main(argv=None):
         tau = args.end_tau
 
     # final forward (reference i == n_iter - 1 re-forward, run_robot.py:229-230)
-    if args.model == "base":
-        _, seg_part, trans_list = base_forward(params, cano_pc, key, tau=1.0)
-    else:
-        _, seg_part, trans_list = kinematic_forward(params, state, cano_pc)
+    # and everything downstream run on the HOST backend: these are tiny,
+    # P/E-dependent-shape programs that would otherwise each pay a fresh
+    # 30s+ remote compile over the TPU tunnel for millisecond-scale compute
+    from reart_tpu.hostops import on_host, to_host
+
+    params = to_host(params)
+    state = to_host(state) if state is not None else None
+    with on_host():
+        if args.model == "base":
+            _, seg_part, trans_list = base_forward(
+                params, to_host(cano_pc), key, tau=1.0)
+        else:
+            _, seg_part, trans_list = kinematic_forward(
+                params, state, to_host(cano_pc))
 
     with phase_timer("finalize"):
         finalize(args, domain, dataset, sample, np.asarray(seg_part),

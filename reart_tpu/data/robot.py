@@ -36,6 +36,11 @@ class RobotSequence:
         pose_files = sorted(
             glob.glob(os.path.join(seq_path, "pose_*.pkl")), key=_index_of
         )
+        if not pose_files:
+            raise FileNotFoundError(
+                f"no pose_*.pkl under {seq_path!r} — expected a robot sequence "
+                "directory (state_i.pkl / pose_i.pkl); pass --seq_path"
+            )
         novel_files = sorted(
             glob.glob(os.path.join(seq_path, "novel_pose_*.pkl")), key=_index_of
         )

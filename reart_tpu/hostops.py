@@ -26,3 +26,19 @@ def on_host():
         return
     with jax.default_device(cpu):
         yield
+
+
+def to_host(tree):
+    """Move a pytree's array leaves to the local CPU backend.
+
+    jit outputs are COMMITTED to the device they ran on, so inside an
+    `on_host()` region a computation over fit-produced arrays would still
+    dispatch back to the TPU; re-commit them to CPU first. Non-array leaves
+    pass through untouched."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return tree
+    return jax.tree.map(
+        lambda x: jax.device_put(x, cpu) if hasattr(x, "dtype") else x, tree
+    )

@@ -25,29 +25,35 @@ def fit_energy(params, cfg, cano_pc, pc_list, cano_idx, seg_part, trans_list,
         merging_wrapper,
         mst_wrapper,
     )
+    from reart_tpu.hostops import on_host
     from reart_tpu.metrics import energy
     from reart_tpu.models.base_model import compute_pc_transform
 
-    # same cleanup protocol as the driver finalize: tiny parts reassigned
-    # before merge costs (masked FPS needs >= num_fps points per part)
-    seg = np.asarray(denoise_seg_label(seg_part, cano_pc, min_num=20))
-    if len(np.unique(seg)) > 1:
-        seg = np.asarray(merging_wrapper(seg, trans_list, cano_pc, 3e-2))
-    if len(np.unique(seg)) > 1:
-        conn = mst_wrapper(seg, trans_list, cano_pc)
-        seg, trans, conn = extract_kinematic(seg, trans_list, conn)
-    else:  # degenerate single-part candidate: rigid fit, no tree
-        lab = int(np.unique(seg)[0])
-        seg = np.zeros_like(seg)
-        trans = np.asarray(trans_list)[:, lab:lab + 1]
-        conn = np.zeros((0, 2), np.int64)
-    pred_pc = compute_pc_transform(cano_pc, jnp.asarray(trans), jnp.asarray(seg))
-    complete_pred = jnp.concatenate(
-        [pred_pc[:cano_idx], cano_pc[None], pred_pc[cano_idx:]], axis=0
-    )
-    return energy(pred_pc, pc_list, jnp.asarray(trans), jnp.asarray(conn), seg,
-                  complete_pred_pc_list=complete_pred,
-                  include_group=include_group)
+    # host backend throughout: every candidate frame can surface a different
+    # part count P, and each fresh P-shaped program would cost a remote
+    # compile for microsecond-scale compute (see cli.finalize)
+    with on_host():
+        # same cleanup protocol as the driver finalize: tiny parts reassigned
+        # before merge costs (masked FPS needs >= num_fps points per part)
+        seg = np.asarray(denoise_seg_label(seg_part, cano_pc, min_num=20))
+        if len(np.unique(seg)) > 1:
+            seg = np.asarray(merging_wrapper(seg, trans_list, cano_pc, 3e-2))
+        if len(np.unique(seg)) > 1:
+            conn = mst_wrapper(seg, trans_list, cano_pc)
+            seg, trans, conn = extract_kinematic(seg, trans_list, conn)
+        else:  # degenerate single-part candidate: rigid fit, no tree
+            lab = int(np.unique(seg)[0])
+            seg = np.zeros_like(seg)
+            trans = np.asarray(trans_list)[:, lab:lab + 1]
+            conn = np.zeros((0, 2), np.int64)
+        pred_pc = compute_pc_transform(
+            cano_pc, jnp.asarray(trans), jnp.asarray(seg))
+        complete_pred = jnp.concatenate(
+            [pred_pc[:cano_idx], cano_pc[None], pred_pc[cano_idx:]], axis=0
+        )
+        return energy(pred_pc, pc_list, jnp.asarray(trans), jnp.asarray(conn),
+                      seg, complete_pred_pc_list=complete_pred,
+                      include_group=include_group)
 
 
 def select_canonical_frame(key, complete_pc_list, cfg, num_parts: int,
