@@ -79,6 +79,11 @@ class FitConfig:
     # (long-running executions trip TPU-runtime watchdogs) and sets the
     # granularity at which the host can observe progress
     dispatch_chunk: int = 50
+    # watchdog for one dispatch's completion fence: must cover the FIRST
+    # dispatch's remote compile (minutes) plus the chunk's execution; a
+    # fence that outlives this is treated as a lost-completion failure and
+    # the chunk is re-dispatched
+    dispatch_timeout: float = 900.0
 
 
 class FlowContext(NamedTuple):
@@ -307,6 +312,54 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
     return recon_scan, assign_scan
 
 
+def dispatch_with_watchdog(fn, args, timeout: float, max_retries: int = 2):
+    """Run one bounded device dispatch, retrying transient failures.
+
+    Failures come in two shapes on a tunnel-attached chip: raised
+    JaxRuntimeErrors, and dispatches whose completion notification is
+    silently LOST (the fence then blocks forever while the chip idles).
+    The fence therefore runs in a watchdog thread with a generous timeout
+    (it must cover the first dispatch's remote compile); on expiry the
+    chunk is re-dispatched — steps are pure functions of their inputs, so
+    re-running is always safe. A hung thread is daemonic and abandoned."""
+    import threading
+    import time as _time
+
+    def run_once():
+        box = {}
+
+        def work():
+            try:
+                out = fn(*args)
+                # fence: only a completed transfer proves execution
+                jax.tree.map(
+                    lambda x: x.block_until_ready(), out,
+                    is_leaf=lambda x: hasattr(x, "block_until_ready"))
+                box["out"] = out
+            except BaseException as e:  # re-raised on the main thread
+                box["err"] = e
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(timeout)
+        if th.is_alive():
+            raise TimeoutError(
+                f"device dispatch exceeded {timeout:.0f}s watchdog")
+        if "err" in box:
+            raise box["err"]
+        return box["out"]
+
+    for attempt in range(max_retries + 1):
+        try:
+            return run_once()
+        except (jax.errors.JaxRuntimeError, TimeoutError) as e:
+            if attempt == max_retries:
+                raise
+            print(f"[fit] transient device failure ({e}), retrying "
+                  f"dispatch ({attempt + 1}/{max_retries}) ...", flush=True)
+            _time.sleep(5.0 * (attempt + 1))
+
+
 def fit(
     key,
     forward_fn: ForwardFn,
@@ -352,21 +405,9 @@ def fit(
         print(f"iteration {min(done, cfg.n_iter) - 1} | {msg}", flush=True)
 
     def _dispatch(fn, *args):
-        """Re-dispatch on transient runtime failures (pure-functional steps)."""
-        for attempt in range(max_retries + 1):
-            try:
-                out = fn(*args)
-                # fence: on this backend only a transfer proves completion
-                jax.tree.map(
-                    lambda x: x.block_until_ready(),
-                    out, is_leaf=lambda x: hasattr(x, "block_until_ready"))
-                return out
-            except jax.errors.JaxRuntimeError:
-                if attempt == max_retries:
-                    raise
-                print(f"[fit] transient device failure, retrying dispatch "
-                      f"({attempt + 1}/{max_retries}) ...", flush=True)
-                _time.sleep(5.0 * (attempt + 1))
+        return dispatch_with_watchdog(
+            fn, args, timeout=max(60.0, cfg.dispatch_timeout),
+            max_retries=max_retries)
 
     ckpt_path = (os.path.join(checkpoint_dir, "fit_state.pkl")
                  if checkpoint_dir else None)

@@ -212,3 +212,37 @@ def test_fit_checkpoint_resume(toy, tmp_path):
         res_params, ref_params)
     # snapshot cleaned up after completion
     assert not os.path.exists(os.path.join(ckpt_dir, "fit_state.pkl"))
+
+
+def test_dispatch_watchdog_recovers_lost_completion():
+    """A dispatch whose fence never completes is re-dispatched; a later
+    attempt that succeeds returns its value."""
+    import itertools
+    import threading
+
+    from reart_tpu.train.engine import dispatch_with_watchdog
+
+    calls = itertools.count()
+
+    def flaky():
+        if next(calls) == 0:
+            threading.Event().wait()  # lost completion: blocks forever
+        return jnp.asarray(7.0)
+
+    out = dispatch_with_watchdog(lambda: flaky(), (), timeout=0.5)
+    assert float(out) == 7.0
+    assert next(calls) == 2  # first call hung, second succeeded
+
+
+def test_dispatch_watchdog_exhausts_retries():
+    import pytest
+
+    from reart_tpu.train.engine import dispatch_with_watchdog
+
+    def always_hangs():
+        import threading
+
+        threading.Event().wait()
+
+    with pytest.raises(TimeoutError):
+        dispatch_with_watchdog(always_hangs, (), timeout=0.2, max_retries=1)
