@@ -32,12 +32,24 @@ import jax
 import jax.numpy as jnp
 
 
-def _auction_phase(benefit, price, eps, max_sweeps):
+def _auction_phase(benefit, price, eps, max_sweeps, use_kernels=None):
     """One epsilon phase of the Jacobi (all-rows-bid) auction with unseating.
 
     benefit: (B, N, M); price: (B, M). Returns (row_to_col (B, N), price).
+    With `use_kernels` (auto-detected: TPU + aligned shapes) the sweep's two
+    (B, N, M)-shaped passes run as fused Pallas kernels reading the benefit
+    matrix from HBM once per sweep (ops/pallas_auction.py); the jnp
+    formulation below is the fallback and the semantic reference.
     """
+    from reart_tpu.ops.pallas_auction import (
+        col_winner_max_pallas,
+        row_top2_pallas,
+        sweep_kernels_available,
+    )
+
     b, n, m = benefit.shape
+    if use_kernels is None:
+        use_kernels = sweep_kernels_available(n, m)
     col_ids = jnp.arange(m)[None, None, :]  # (1, 1, M)
     row_ids = jnp.arange(n)[None, :]        # (1, N)
     neg_inf = jnp.asarray(-jnp.inf, benefit.dtype)
@@ -49,24 +61,32 @@ def _auction_phase(benefit, price, eps, max_sweeps):
     def body(state):
         row_to_col, price, sweep = state
         unassigned = row_to_col < 0  # (B, N)
-        values = benefit - price[:, None, :]  # (B, N, M)
-        # top-2 via max/argmax passes — lax.top_k is a SORT on TPU and
-        # dominated the whole assignment phase (measured 267 ms/iter)
-        best_v = jnp.max(values, axis=-1)
-        best_j = jnp.argmax(values, axis=-1)  # (B, N), first max = low index
-        masked = jnp.where(best_j[..., None] == col_ids, neg_inf, values)
-        second_v = jnp.max(masked, axis=-1)
+        if use_kernels:
+            best_v, second_v, best_j = row_top2_pallas(benefit, price)
+        else:
+            values = benefit - price[:, None, :]  # (B, N, M)
+            # top-2 via max/argmax passes — lax.top_k is a SORT on TPU and
+            # dominated the whole assignment phase (measured 267 ms/iter)
+            best_v = jnp.max(values, axis=-1)
+            best_j = jnp.argmax(values, axis=-1)  # (B, N), first max = low idx
+            masked = jnp.where(best_j[..., None] == col_ids, neg_inf, values)
+            second_v = jnp.max(masked, axis=-1)
         bid = best_v - second_v + eps
         bid = jnp.where(unassigned, bid, -jnp.inf)  # only unassigned rows bid
 
-        # column-wise max bid + winning row, as masked reductions (no scatter)
-        bid_matrix = jnp.where(best_j[..., None] == col_ids,
-                               bid[..., None], neg_inf)  # (B, N, M)
-        col_bid = jnp.max(bid_matrix, axis=1)  # (B, M)
-        got_bid = col_bid > -jnp.inf
-        is_win = jnp.logical_and(bid_matrix == col_bid[:, None, :],
-                                 bid_matrix > -jnp.inf)
-        col_winner = jnp.argmax(is_win, axis=1).astype(jnp.int32)  # first = min row
+        # column-wise max bid + winning row
+        if use_kernels:
+            col_bid, col_winner = col_winner_max_pallas(bid, best_j, m)
+            got_bid = col_bid > -jnp.inf
+        else:
+            # masked reductions (no scatter)
+            bid_matrix = jnp.where(best_j[..., None] == col_ids,
+                                   bid[..., None], neg_inf)  # (B, N, M)
+            col_bid = jnp.max(bid_matrix, axis=1)  # (B, M)
+            got_bid = col_bid > -jnp.inf
+            is_win = jnp.logical_and(bid_matrix == col_bid[:, None, :],
+                                     bid_matrix > -jnp.inf)
+            col_winner = jnp.argmax(is_win, axis=1).astype(jnp.int32)  # min row
 
         price = jnp.where(got_bid, price + col_bid, price)
 

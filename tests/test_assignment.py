@@ -77,3 +77,74 @@ class TestAuction:
         for k in range(2):
             expect = c[k][np.arange(16), np.asarray(out)[k]].sum()
             np.testing.assert_allclose(total[k], expect, rtol=1e-5)
+
+
+class TestPallasSweepKernels:
+    """Fused sweep kernels vs the jnp reference formulation (interpret mode)."""
+
+    def _rand(self, b=2, n=256, m=1024, seed=0):
+        rng = np.random.RandomState(seed)
+        benefit = jnp.asarray(rng.randn(b, n, m).astype(np.float32))
+        price = jnp.asarray(np.abs(rng.randn(b, m)).astype(np.float32))
+        return benefit, price
+
+    def test_row_top2_matches_jnp(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.pallas_auction import row_top2_pallas
+
+        benefit, price = self._rand()
+        values = benefit - price[:, None, :]
+        bv_ref = jnp.max(values, axis=-1)
+        bj_ref = jnp.argmax(values, axis=-1).astype(np.int32)
+        masked = jnp.where(
+            bj_ref[..., None] == jnp.arange(values.shape[-1])[None, None, :],
+            -jnp.inf, values)
+        sv_ref = jnp.max(masked, axis=-1)
+        with pltpu.force_tpu_interpret_mode():
+            bv, sv, bj = row_top2_pallas(benefit, price)
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(bv_ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sv), np.asarray(sv_ref), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(bj), np.asarray(bj_ref))
+
+    def test_col_winner_matches_jnp(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.pallas_auction import col_winner_max_pallas
+
+        rng = np.random.RandomState(1)
+        b, n, m = 2, 512, 1024
+        bid = rng.randn(b, n).astype(np.float32)
+        bid[rng.rand(b, n) < 0.3] = -np.inf  # non-bidders
+        best_j = rng.randint(0, m, size=(b, n)).astype(np.int32)
+        col_ids = jnp.arange(m)[None, None, :]
+        bid_matrix = jnp.where(jnp.asarray(best_j)[..., None] == col_ids,
+                               jnp.asarray(bid)[..., None], -jnp.inf)
+        cb_ref = jnp.max(bid_matrix, axis=1)
+        is_win = jnp.logical_and(bid_matrix == cb_ref[:, None, :],
+                                 bid_matrix > -jnp.inf)
+        cw_ref = jnp.argmax(is_win, axis=1).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            cb, cw = col_winner_max_pallas(jnp.asarray(bid),
+                                           jnp.asarray(best_j), m)
+        np.testing.assert_allclose(np.asarray(cb), np.asarray(cb_ref))
+        got = np.asarray(cb_ref) > -np.inf
+        np.testing.assert_array_equal(np.asarray(cw)[got],
+                                      np.asarray(cw_ref)[got])
+
+    def test_full_phase_kernel_path_matches_jnp(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.assignment import _auction_phase
+
+        rng = np.random.RandomState(2)
+        benefit = jnp.asarray(-rng.rand(3, 256, 1024).astype(np.float32))
+        price = jnp.zeros((3, 1024), jnp.float32)
+        r_ref, p_ref = _auction_phase(benefit, price, 1e-2, 40,
+                                      use_kernels=False)
+        with pltpu.force_tpu_interpret_mode():
+            r_k, p_k = _auction_phase(benefit, price, 1e-2, 40,
+                                      use_kernels=True)
+        np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(r_k))
+        np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_k),
+                                   rtol=1e-5, atol=1e-6)
