@@ -113,8 +113,8 @@ def _auction_phase(benefit, price, eps, max_sweeps, use_kernels=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_scales", "scale_factor", "max_sweeps",
-                     "return_price"),
+    static_argnames=("eps_min", "num_scales", "scale_factor", "max_sweeps",
+                     "return_price", "use_resident"),
 )
 def auction_lap(
     cost: jnp.ndarray,
@@ -124,6 +124,7 @@ def auction_lap(
     max_sweeps: int = 500,
     price: jnp.ndarray | None = None,
     return_price: bool = False,
+    use_resident: bool | None = None,
 ):
     """Minimize sum of cost over a matching. cost (B, N, M), N <= M.
 
@@ -145,10 +146,25 @@ def auction_lap(
     b, n, m = benefit.shape
     if price is None:
         price = jnp.zeros((b, m), dtype=jnp.float32)
-    row_to_col = jnp.full((b, n), -1, dtype=jnp.int32)
-    for k in range(num_scales - 1, -1, -1):
-        eps = eps_min * (scale_factor ** k)
-        row_to_col, price = _auction_phase(benefit, price, eps, max_sweeps)
+    from reart_tpu.ops.pallas_auction import (
+        auction_solve_resident,
+        resident_available,
+    )
+
+    if use_resident is None:
+        use_resident = resident_available(n, m)
+    if use_resident:
+        # entire epsilon-scaled solve in ONE kernel launch per call, with
+        # per-batch-element early exit on convergence (pallas_auction.py)
+        eps_list = tuple(float(eps_min * scale_factor ** k)
+                         for k in range(num_scales - 1, -1, -1))
+        row_to_col, price = auction_solve_resident(
+            benefit, price, eps_list, max_sweeps)
+    else:
+        row_to_col = jnp.full((b, n), -1, dtype=jnp.int32)
+        for k in range(num_scales - 1, -1, -1):
+            eps = eps_min * (scale_factor ** k)
+            row_to_col, price = _auction_phase(benefit, price, eps, max_sweeps)
     # greedy completion of any rows left by the sweep bound
     values = benefit - price[:, None, :]
     fallback = jnp.argmax(values, axis=-1).astype(jnp.int32)

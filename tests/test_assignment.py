@@ -148,3 +148,40 @@ class TestPallasSweepKernels:
         np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(r_k))
         np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_k),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_resident_solve_matches_phase_loop(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.assignment import auction_lap
+
+        rng = np.random.RandomState(3)
+        cost = jnp.asarray(rng.rand(3, 64, 128).astype(np.float32))
+        kw = dict(eps_min=1e-3, num_scales=2, scale_factor=10.0,
+                  max_sweeps=200, return_price=True)
+        perm_ref, price_ref = auction_lap(cost, use_resident=False, **kw)
+        with pltpu.force_tpu_interpret_mode():
+            perm_k, price_k = auction_lap(cost, use_resident=True, **kw)
+        np.testing.assert_array_equal(np.asarray(perm_ref), np.asarray(perm_k))
+        np.testing.assert_allclose(np.asarray(price_ref), np.asarray(price_k),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_resident_solve_warm_start_roundtrip(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.assignment import auction_lap
+
+        rng = np.random.RandomState(4)
+        cost = jnp.asarray(rng.rand(2, 32, 128).astype(np.float32))
+        kw = dict(eps_min=1e-3, num_scales=1, scale_factor=10.0,
+                  max_sweeps=200, return_price=True)
+        # warm-started resident solve must match the jnp phase loop given
+        # the same warm price input (matchings are deterministic per path)
+        perm_ref, price1 = auction_lap(cost, use_resident=False, **kw)
+        perm_j, price_j = auction_lap(cost, price=price1, use_resident=False,
+                                      **kw)
+        with pltpu.force_tpu_interpret_mode():
+            perm_k, price_k = auction_lap(cost, price=price1,
+                                          use_resident=True, **kw)
+        np.testing.assert_array_equal(np.asarray(perm_j), np.asarray(perm_k))
+        np.testing.assert_allclose(np.asarray(price_j), np.asarray(price_k),
+                                   rtol=1e-5, atol=1e-6)
