@@ -68,6 +68,9 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     p.add_argument("--use_assign_loss", action="store_true")
     p.add_argument("--downsample", default=4 if domain != "sapien" else 1, type=int)
     p.add_argument("--assign_gap", default=5, type=int)
+    p.add_argument("--assign_sweeps", default=100, type=int,
+                   help="auction sweep bound per epsilon phase (see "
+                        "FitConfig.assign_sweeps)")
     p.add_argument("--lambda_assign", default=3e-1, type=float)
     p.add_argument("--lambda_flow", default=1.0, type=float)
     p.add_argument("--lambda_joint", default=100.0 if robot else 1e-1, type=float)
@@ -130,6 +133,7 @@ def fit_config(args, domain: str):
         trans_lr=args.trans_lr,
         weight_decay=args.weight_decay,
         cano_idx=args.cano_idx,
+        assign_sweeps=args.assign_sweeps,
     )
 
 
