@@ -111,6 +111,14 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
         p.add_argument("--sapien_idx", default=212, type=int)
         p.add_argument("--flow_file", default=None, type=str,
                        help="precomputed flow .npz (msync provider boundary)")
+        p.add_argument("--flow_model_config_path", type=str,
+                       default="msync/config/articulated-full.yaml",
+                       help="msync config (reference run_sapien.py:427); used "
+                            "when --flow_file is not given")
+        p.add_argument("--flow_model_path", type=str,
+                       default="msync/ckpt/articulated-full/best.pth.tar",
+                       help="msync FlowNet/ConfNet checkpoint "
+                            "(reference run_sapien.py:428)")
 
 
 def fit_config(args, domain: str):
@@ -168,9 +176,13 @@ def setup_flow(args, domain: str, dataset, sample):
         from reart_tpu.sapien_eval import load_precomputed_flow
         from reart_tpu.train import FlowContext
 
-        assert args.flow_file is not None, (
-            "sapien flow loss needs --flow_file (precomputed msync flows)")
-        flow, conf = load_precomputed_flow(args.flow_file)
+        if args.flow_file is not None:
+            flow, conf = load_precomputed_flow(args.flow_file)
+        else:  # run the external msync nets (reference run_sapien.py:69-75)
+            from reart_tpu.sapien_eval import compute_flow_msync
+
+            flow, conf = compute_flow_msync(
+                complete, args.flow_model_config_path, args.flow_model_path)
         pc_refs, flow_refs = [], []
         for t in range(flow.shape[0]):
             keep = conf[t] > 0.5

@@ -90,3 +90,66 @@ def load_precomputed_flow(path: str):
     conf = data["conf"].astype(np.float32) if "conf" in data else np.ones(
         flow.shape[:2], np.float32)
     return flow, conf
+
+
+def compute_flow_msync(complete_pc_list, config_path: str, model_path: str,
+                       save_path: str | None = None):
+    """Run the external msync FlowNet/ConfNet to predict consecutive-pair
+    scene flow, exactly at the reference's external-repo boundary
+    (run_sapien.py:69-75 -> sapien_utils.py:80-108).
+
+    The multibody-sync repo is NOT vendored (the reference clones it in
+    setup_env.sh); this adapter imports it from the directory containing
+    `config_path`'s repo root, runs it once per frame pair on the host
+    (torch, frozen weights — it is setup-time work, never in the fit loop),
+    and optionally caches the result as a `--flow_file`-compatible .npz.
+
+    Returns (flow (T-1, N, 3), conf (T-1, N)) float32 numpy arrays.
+    """
+    import os
+    import sys
+
+    # msync/config/articulated-full.yaml -> repo root is msync/'s parent
+    cfg_abs = os.path.abspath(config_path)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(cfg_abs)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    try:
+        import torch
+        import yaml
+        from msync.models.conf_net import ConfNet, get_network_input
+        from msync.models.flow_net import FlowNet
+    except ImportError as e:
+        raise ImportError(
+            "msync flow provider needs the multibody-sync repo on disk "
+            f"(looked under {repo_root}); clone it as the reference's "
+            "setup_env.sh does, or precompute flows and pass --flow_file. "
+            f"Underlying error: {e}") from e
+
+    with open(cfg_abs) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg.get("type") == "full", "msync config must be of type 'full'"
+    flow_net, conf_net = FlowNet(), ConfNet()
+    state = torch.load(model_path, map_location="cpu")["model_state"]
+    own = {"flow_net": flow_net, "conf_net": conf_net}
+    for name, mod in own.items():
+        sub = {k[len(name) + 1:]: v for k, v in state.items()
+               if k.startswith(name + ".")}
+        mod.load_state_dict(sub)
+        mod.eval()
+
+    pcs = torch.as_tensor(np.asarray(complete_pc_list), dtype=torch.float32)
+    flows, confs = [], []
+    with torch.no_grad():
+        for t in range(pcs.shape[0] - 1):
+            src, tgt = pcs[t:t + 1], pcs[t + 1:t + 2]
+            flow = flow_net.forward(src, tgt, src, tgt)[0]
+            flow = flow[0].transpose(-1, -2).squeeze(0)
+            _, w = conf_net(get_network_input(src, tgt, flow))
+            flows.append(flow.numpy())
+            confs.append(torch.sigmoid(w).squeeze(0).numpy())
+    flow = np.stack(flows).astype(np.float32)
+    conf = np.stack(confs).astype(np.float32)
+    if save_path:
+        np.savez(save_path, flow=flow, conf=conf)
+    return flow, conf

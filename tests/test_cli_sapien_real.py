@@ -143,3 +143,97 @@ def test_auto_cano_flag(tmp_path):
         "--start_tau", "1", "--end_tau", "0.5", "--snapshot_gap", "1000",
     ])
     assert os.path.exists(os.path.join(save_root, "scans", "result.txt"))
+
+
+def _write_fake_msync(root):
+    """Minimal stand-in for the external multibody-sync repo: same module
+    layout and call surface as the reference uses (sapien_utils.py:15-17,
+    94-108)."""
+    import textwrap
+
+    pkg = root / "msync"
+    (pkg / "models").mkdir(parents=True)
+    (pkg / "config").mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "models" / "__init__.py").write_text("")
+    (pkg / "models" / "flow_net.py").write_text(textwrap.dedent("""
+        import torch, torch.nn as nn
+
+        class FlowNet(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.scale = nn.Parameter(torch.ones(1))
+
+            def forward(self, src, tgt, src2, tgt2):
+                # (1, B, 3, N) channel-first flow like msync's FlowNet
+                flow = (self.scale * (tgt - src)).transpose(-1, -2).unsqueeze(0)
+                return flow, None, None, None, None
+    """))
+    (pkg / "models" / "conf_net.py").write_text(textwrap.dedent("""
+        import torch, torch.nn as nn
+
+        def get_network_input(src, tgt, flow):
+            return flow
+
+        class ConfNet(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.bias = nn.Parameter(torch.zeros(1))
+
+            def forward(self, x):
+                return None, x.norm(dim=-1) + self.bias
+    """))
+    (pkg / "config" / "articulated-full.yaml").write_text("type: full\n")
+    import torch
+
+    import sys
+    sys.path.insert(0, str(root))
+    try:
+        from msync.models.conf_net import ConfNet
+        from msync.models.flow_net import FlowNet
+
+        state = {}
+        for name, mod in (("flow_net", FlowNet()), ("conf_net", ConfNet())):
+            for k, v in mod.state_dict().items():
+                state[f"{name}.{k}"] = v
+        torch.save({"model_state": state}, root / "best.pth.tar")
+    finally:
+        sys.path.remove(str(root))
+        for m in [m for m in sys.modules if m.startswith("msync")]:
+            del sys.modules[m]
+    return str(pkg / "config" / "articulated-full.yaml"), str(root / "best.pth.tar")
+
+
+def test_msync_flow_provider(tmp_path):
+    """compute_flow_msync drives the external nets through the reference's
+    exact call surface and caches a --flow_file-compatible npz."""
+    from reart_tpu.sapien_eval import compute_flow_msync, load_precomputed_flow
+
+    import sys
+
+    cfg_path, ckpt_path = _write_fake_msync(tmp_path)
+    rng = np.random.RandomState(0)
+    pcs = rng.randn(3, 50, 3).astype(np.float32)
+    out = str(tmp_path / "flows.npz")
+    try:
+        flow, conf = compute_flow_msync(pcs, cfg_path, ckpt_path, save_path=out)
+    finally:  # don't leak the fake repo into later tests
+        sys.path[:] = [p for p in sys.path if p != str(tmp_path)]
+        for m in [m for m in sys.modules if m.startswith("msync")]:
+            del sys.modules[m]
+    assert flow.shape == (2, 50, 3) and conf.shape[0] == 2
+    np.testing.assert_allclose(flow, pcs[1:] - pcs[:-1], atol=1e-5)
+    assert conf.min() >= 0.0 and conf.max() <= 1.0  # sigmoid applied
+    f2, c2 = load_precomputed_flow(out)
+    np.testing.assert_allclose(f2, flow)
+    np.testing.assert_allclose(c2, conf)
+
+
+def test_msync_flow_provider_missing_repo(tmp_path):
+    from reart_tpu.sapien_eval import compute_flow_msync
+
+    cfg = tmp_path / "msync" / "config" / "articulated-full.yaml"
+    cfg.parent.mkdir(parents=True)
+    cfg.write_text("type: full\n")
+    with pytest.raises(ImportError, match="multibody-sync"):
+        compute_flow_msync(np.zeros((2, 8, 3), np.float32), str(cfg), "x.pth")
