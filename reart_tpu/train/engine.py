@@ -84,6 +84,12 @@ class FitConfig:
     # fence that outlives this is treated as a lost-completion failure and
     # the chunk is re-dispatched
     dispatch_timeout: float = 900.0
+    # dispatches kept in flight before fencing the oldest. The tunnel's
+    # per-dispatch round trip (~0.7 s measured) otherwise serializes with
+    # device execution: at chunk=50 the nao fit measures 42.7 it/s fenced
+    # every chunk vs 79.1 it/s fenced every 8 chunks — pipelining buys the
+    # same overlap while keeping small chunks (watchdog granularity)
+    pipeline_depth: int = 4
     # auction sweep bound per epsilon phase. 100 is the measured sweet spot:
     # raising it to 1000 makes each solve near-exact (gap -10.9% -> -0.09%
     # at 1024^2) but DOUBLES fit wall-clock (warm-started prices on a moving
@@ -321,16 +327,41 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
     return recon_scan, assign_scan
 
 
-def dispatch_with_watchdog(fn, args, timeout: float, max_retries: int = 2):
-    """Run one bounded device dispatch, retrying transient failures.
+def _fence_with_watchdog(out, timeout: float):
+    """Block until `out`'s device buffers are ready, inside a watchdog thread.
 
     Failures come in two shapes on a tunnel-attached chip: raised
     JaxRuntimeErrors, and dispatches whose completion notification is
     silently LOST (the fence then blocks forever while the chip idles).
-    The fence therefore runs in a watchdog thread with a generous timeout
-    (it must cover the first dispatch's remote compile); on expiry the
-    chunk is re-dispatched — steps are pure functions of their inputs, so
-    re-running is always safe. A hung thread is daemonic and abandoned."""
+    On expiry a TimeoutError is raised; a hung thread is daemonic and
+    abandoned."""
+    import threading
+
+    box = {}
+
+    def work():
+        try:
+            jax.tree.map(
+                lambda x: x.block_until_ready(), out,
+                is_leaf=lambda x: hasattr(x, "block_until_ready"))
+            box["ok"] = True
+        except BaseException as e:  # re-raised on the main thread
+            box["err"] = e
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        raise TimeoutError(f"device dispatch exceeded {timeout:.0f}s watchdog")
+    if "err" in box:
+        raise box["err"]
+
+
+def dispatch_with_watchdog(fn, args, timeout: float, max_retries: int = 2):
+    """Run ONE bounded device dispatch synchronously, retrying transient
+    failures — steps are pure functions of their inputs, so re-running is
+    always safe. Both the call AND its fence run inside the watchdog thread:
+    a wedged tunnel can hang the dispatch itself, not just the fence."""
     import threading
     import time as _time
 
@@ -340,7 +371,6 @@ def dispatch_with_watchdog(fn, args, timeout: float, max_retries: int = 2):
         def work():
             try:
                 out = fn(*args)
-                # fence: only a completed transfer proves execution
                 jax.tree.map(
                     lambda x: x.block_until_ready(), out,
                     is_leaf=lambda x: hasattr(x, "block_until_ready"))
@@ -367,6 +397,75 @@ def dispatch_with_watchdog(fn, args, timeout: float, max_retries: int = 2):
             print(f"[fit] transient device failure ({e}), retrying "
                   f"dispatch ({attempt + 1}/{max_retries}) ...", flush=True)
             _time.sleep(5.0 * (attempt + 1))
+
+
+def run_chunks_pipelined(starts, state, dispatch_one, on_fenced,
+                         timeout: float, max_retries: int = 2,
+                         depth: int = 4):
+    """Thread `state` through a sequence of bounded dispatches, keeping up to
+    `depth` dispatches in flight before fencing the oldest.
+
+    JAX dispatch is asynchronous, so enqueueing chunk i+1 while chunk i is
+    still executing overlaps the tunnel's per-dispatch round trip with device
+    execution — fencing every chunk serializes them (measured 42.7 vs 79.1
+    iters/sec on the nao fit, SURVEY §6 workload). Chunks stay small, so the
+    TPU-runtime watchdog and progress observability are unaffected.
+
+    dispatch_one(start, state) -> (state', extras): enqueue one chunk (async).
+    on_fenced(start, state', extras): called in chunk order once the chunk's
+    outputs are proven complete.
+
+    Failure recovery: when a fence fails (JaxRuntimeError / lost-completion
+    timeout), every younger in-flight chunk is poisoned too — all are
+    dropped, `state` rewinds to the last FENCED value, and the failed chunk
+    is retried from there (pure functions of their inputs, always safe).
+    Returns the final fenced state."""
+    import collections
+    import time as _time
+
+    pending = collections.deque()  # (start, state_after, extras)
+    fenced_state = state
+    retries: dict[int, int] = {}
+    i = 0
+    starts = list(starts)
+    while i < len(starts) or pending:
+        if i < len(starts) and len(pending) < max(1, depth):
+            try:
+                state, extras = dispatch_one(starts[i], state)
+            except BaseException:
+                # a crash while enqueueing: fence what is already in flight
+                # (so on_fenced fires and mid-run checkpoints land) before
+                # surfacing the failure
+                while pending:
+                    s0, st, ex = pending.popleft()
+                    try:
+                        _fence_with_watchdog((st, ex), timeout)
+                    except Exception:
+                        break
+                    on_fenced(s0, st, ex)
+                raise
+            pending.append((starts[i], state, extras))
+            i += 1
+            continue
+        s0, state_after, extras = pending.popleft()
+        try:
+            _fence_with_watchdog((state_after, extras), timeout)
+        except (jax.errors.JaxRuntimeError, TimeoutError) as e:
+            n = retries.get(s0, 0) + 1
+            if n > max_retries:
+                raise
+            retries[s0] = n
+            print(f"[fit] transient device failure ({e}), rewinding to "
+                  f"iteration-chunk {s0} (retry {n}/{max_retries}) ...",
+                  flush=True)
+            _time.sleep(5.0 * n)
+            pending.clear()              # younger chunks consumed bad inputs
+            state = fenced_state
+            i = starts.index(s0)         # re-dispatch from the failed chunk
+            continue
+        fenced_state = state_after
+        on_fenced(s0, state_after, extras)
+    return fenced_state
 
 
 def fit(
@@ -413,10 +512,11 @@ def fit(
         msg = " | ".join(f"{k}: {v:.3f}" for k, v in last.items() if v != 0.0)
         print(f"iteration {min(done, cfg.n_iter) - 1} | {msg}", flush=True)
 
-    def _dispatch(fn, *args):
-        return dispatch_with_watchdog(
-            fn, args, timeout=max(60.0, cfg.dispatch_timeout),
-            max_retries=max_retries)
+    def _pipelined(starts, state, dispatch_one, on_fenced):
+        return run_chunks_pipelined(
+            starts, state, dispatch_one, on_fenced,
+            timeout=max(60.0, cfg.dispatch_timeout),
+            max_retries=max_retries, depth=cfg.pipeline_depth)
 
     ckpt_path = (os.path.join(checkpoint_dir, "fit_state.pkl")
                  if checkpoint_dir else None)
@@ -471,20 +571,28 @@ def fit(
     last_saved = resume_done
 
     if n_recon > 0 and resume_done < n_recon:
-        # bounded dispatches of `chunk` iterations, one compiled program
+        # bounded dispatches of `chunk` iterations, one compiled program,
+        # pipelined so the tunnel round trip overlaps device execution
         hs = []
-        for start in range(resume_done, n_recon, chunk):
+
+        def dispatch_recon(start, st):
             its = start + jnp.arange(chunk)
-            (params, opt_state), h = _dispatch(
-                recon_scan, params, opt_state, its, n_recon, key, cano_pc,
-                pc_list, flow_ctx, fwd_ctx, cano_idx,
-            )
+            new_st, h = recon_scan(*st, its, n_recon, key, cano_pc,
+                                   pc_list, flow_ctx, fwd_ctx, cano_idx)
+            return new_st, h
+
+        def fenced_recon(start, st, h):
+            nonlocal last_saved
             hs.append(h)
             done = min(start + chunk, n_recon)
             _log(h, start + chunk, chunk)
             if ckpt_path and done - last_saved >= checkpoint_every:
-                _save_state(done, params, opt_state, None, history + hs)
+                _save_state(done, st[0], st[1], None, history + hs)
                 last_saved = done
+
+        params, opt_state = _pipelined(
+            range(resume_done, n_recon, chunk), (params, opt_state),
+            dispatch_recon, fenced_recon)
         h = jax.tree.map(
             lambda *xs: jnp.concatenate(xs)[: n_recon - resume_done], *hs)
         history.append(h)
@@ -501,20 +609,27 @@ def fit(
         if price is None:
             price = jnp.zeros((t_frames, num_fps), jnp.float32)
         hs = []
-        for start in range(outer_resume, n_outer, outer_chunk):
+
+        def dispatch_assign(start, st):
             # pad the last dispatch to the common shape; padded outers are
             # fully masked by the it < n_iter check inside
             outer_its = n_recon + (start + jnp.arange(outer_chunk)) * gap
-            (params, opt_state, price), h = _dispatch(
-                assign_scan, params, opt_state, price, outer_its, key,
-                cano_pc, pc_list, flow_ctx, fwd_ctx, cano_idx, actx,
-            )
+            new_st, h = assign_scan(*st, outer_its, key, cano_pc, pc_list,
+                                    flow_ctx, fwd_ctx, cano_idx, actx)
+            return new_st, h
+
+        def fenced_assign(start, st, h):
+            nonlocal last_saved
             hs.append(jax.tree.map(lambda v: v.reshape(-1), h))
             done = min(n_recon + (start + outer_chunk) * gap, cfg.n_iter)
             _log(h, n_recon + (start + outer_chunk) * gap, outer_chunk * gap)
             if ckpt_path and done - last_saved >= checkpoint_every:
-                _save_state(done, params, opt_state, price, history + hs)
+                _save_state(done, st[0], st[1], st[2], history + hs)
                 last_saved = done
+
+        params, opt_state, price = _pipelined(
+            range(outer_resume, n_outer, outer_chunk),
+            (params, opt_state, price), dispatch_assign, fenced_assign)
         h = jax.tree.map(
             lambda *xs: jnp.concatenate(xs)[: remaining - outer_resume * gap],
             *hs)

@@ -246,3 +246,55 @@ def test_dispatch_watchdog_exhausts_retries():
 
     with pytest.raises(TimeoutError):
         dispatch_with_watchdog(always_hangs, (), timeout=0.2, max_retries=1)
+
+
+def test_pipelined_rewind_on_fence_failure():
+    """run_chunks_pipelined: a fence failure drops every younger in-flight
+    chunk, rewinds to the last fenced state, and re-dispatches — final state
+    and fenced-callback order are as if every chunk ran serially once."""
+    import jax
+
+    from reart_tpu.train.engine import run_chunks_pipelined
+
+    calls, fenced = [], []
+    fail = {"armed": True}
+
+    class Buf:
+        def __init__(self, v, poison=False):
+            self.v, self.poison = v, poison
+
+        def block_until_ready(self):
+            if self.poison and fail.pop("armed", False):
+                raise jax.errors.JaxRuntimeError("boom")
+            return self
+
+    def dispatch_one(start, st):
+        calls.append(start)
+        return Buf(st.v + 1, poison=(start == 3)), Buf(start)
+
+    def on_fenced(start, st, extras):
+        fenced.append((start, st.v))
+
+    final = run_chunks_pipelined(
+        range(8), Buf(0), dispatch_one, on_fenced,
+        timeout=5.0, max_retries=2, depth=3)
+    assert final.v == 8
+    assert fenced == [(s, s + 1) for s in range(8)]  # in order, correct state
+    assert calls.count(3) == 2                       # failed chunk retried
+    assert calls.count(4) == 2                       # younger chunk re-run
+
+
+def test_pipelined_exhausts_retries():
+    import jax
+    import pytest
+
+    from reart_tpu.train.engine import run_chunks_pipelined
+
+    class Bad:
+        def block_until_ready(self):
+            raise jax.errors.JaxRuntimeError("dead chip")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        run_chunks_pipelined(
+            range(3), Bad(), lambda s, st: (Bad(), None),
+            lambda *a: None, timeout=5.0, max_retries=1, depth=2)
