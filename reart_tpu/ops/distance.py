@@ -69,6 +69,60 @@ def _gathered_sqdist(src: jnp.ndarray, tgt: jnp.ndarray, idx: jnp.ndarray) -> jn
     return jnp.sum((src - nn) ** 2, axis=-1)
 
 
+@jax.custom_vjp
+def _nn_points_pallas(query: jnp.ndarray, ref: jnp.ndarray):
+    """Per-point NN squared distance + (non-diff) index, kernel-gathered.
+
+    query/ref (B, N|M, 3) -> (d (B, N), idx (B, N)). The kernel extracts the
+    winning neighbor's coords in VMEM (one-hot matmul), so neither the
+    forward value nor the query gradient needs an XLA row-gather — at nao
+    scale each such gather fusion costs more than the neighbor kernel
+    itself. Gradients flow to BOTH args: d/dquery = 2(query - nn) directly;
+    d/dref = the matching scatter-add (DCE'd by XLA when ref is a constant,
+    e.g. the observed clouds in recon_loss's forward direction)."""
+    from reart_tpu.ops.pallas_nn import nn1_coords_pallas
+
+    d, idx, _ = nn1_coords_pallas(query, ref)
+    return d, idx
+
+
+def _nn_points_pallas_fwd(query, ref):
+    from reart_tpu.ops.pallas_nn import nn1_coords_pallas
+
+    d, idx, coords = nn1_coords_pallas(query, ref)
+    return (d, idx), (query, coords, idx, ref.shape[-2])
+
+
+def _nn_points_pallas_bwd(res, cts):
+    query, coords, idx, m = res
+    g = cts[0]  # cotangent of d; idx cotangent is float0
+    resid = 2.0 * g[..., None] * (query - coords)  # (B, N, 3)
+    grad_ref = jax.vmap(
+        lambda i, r: jnp.zeros((m, 3), r.dtype).at[i].add(r)
+    )(idx, -resid)
+    return resid, grad_ref
+
+
+_nn_points_pallas.defvjp(_nn_points_pallas_fwd, _nn_points_pallas_bwd)
+
+
+def _nn_sqdist_with_idx(src: jnp.ndarray, tgt: jnp.ndarray):
+    """(d (..., N), idx (..., N)) of each src point to its nearest tgt point,
+    differentiable in both clouds; kernel path avoids gathers entirely."""
+    from reart_tpu.ops.pallas_nn import use_pallas
+
+    if (src.shape[-1] == 3 and tgt.shape[-1] == 3
+            and src.shape[:-2] == tgt.shape[:-2]
+            and use_pallas(src.shape, tgt.shape)):
+        batch = src.shape[:-2]
+        d, idx = _nn_points_pallas(src.reshape((-1,) + src.shape[-2:]),
+                                   tgt.reshape((-1,) + tgt.shape[-2:]))
+        return d.reshape(batch + d.shape[-1:]), idx.reshape(batch + idx.shape[-1:])
+    _, idx = nearest_neighbor(jax.lax.stop_gradient(src),
+                              jax.lax.stop_gradient(tgt))
+    return _gathered_sqdist(src, tgt, idx), idx
+
+
 def chamfer(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -89,13 +143,9 @@ def chamfer(
       * return_index: additionally the NN indices (fwd[, bwd]).
     """
     if not reverse or bidirectional:
-        _, idx_fwd = nearest_neighbor(jax.lax.stop_gradient(src),
-                                      jax.lax.stop_gradient(tgt))
-        d_fwd = _gathered_sqdist(src, tgt, idx_fwd)
+        d_fwd, idx_fwd = _nn_sqdist_with_idx(src, tgt)
     if bidirectional or reverse:
-        _, idx_bwd = nearest_neighbor(jax.lax.stop_gradient(tgt),
-                                      jax.lax.stop_gradient(src))
-        d_bwd = _gathered_sqdist(tgt, src, idx_bwd)
+        d_bwd, idx_bwd = _nn_sqdist_with_idx(tgt, src)
     if bidirectional:
         if return_index:
             return d_fwd + d_bwd, idx_fwd, idx_bwd

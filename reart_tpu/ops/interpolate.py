@@ -73,3 +73,34 @@ def blend_anchor_motion(
     flow_dists = jnp.max(jnp.sum(flows ** 2, axis=-1), axis=-1)
     mask = jnp.logical_or(min_dists <= flow_dists, min_dists <= 0.05)
     return blended, mask
+
+
+def blend_anchor_motion_batched(
+    query_loc: jnp.ndarray,
+    reference_loc: jnp.ndarray,
+    reference_flow: jnp.ndarray,
+):
+    """Batched `blend_anchor_motion(k=3, return_mask=True)`.
+
+    query_loc (B, N, 3), reference_loc/flow (B, M, 3) ->
+    (blended (B, N, 3), mask (B, N)).
+
+    On TPU (large shapes, single-tile M) this runs the fused Pallas blend
+    kernel — the jnp path's (B, N, 3, 3) anchor-flow gather is an XLA gather
+    fusion that costs more than every neighbor kernel combined (4.2 ms/iter
+    at nao scale); the kernel replaces it with a weighted one-hot matmul in
+    VMEM. Non-differentiable (callers blend under stop_gradient)."""
+    from reart_tpu.ops.pallas_nn import MAX_TILE_M, blend3_pallas, use_pallas
+
+    if (use_pallas(query_loc.shape, reference_loc.shape)
+            and reference_loc.shape[-2] <= MAX_TILE_M
+            and reference_loc.shape[-2] >= 3):
+        blended, min_d, flow_d = blend3_pallas(
+            jax.lax.stop_gradient(query_loc),
+            jax.lax.stop_gradient(reference_loc),
+            jax.lax.stop_gradient(reference_flow))
+        mask = jnp.logical_or(min_d <= flow_d, min_d <= 0.05)
+        return blended, mask
+    return jax.vmap(
+        lambda q, r, f: blend_anchor_motion(q, r, f, return_mask=True)
+    )(query_loc, reference_loc, reference_flow)

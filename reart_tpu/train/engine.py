@@ -35,7 +35,8 @@ import optax
 
 from reart_tpu.losses import flow_loss as _flow_loss
 from reart_tpu.losses import recon_loss as _recon_loss
-from reart_tpu.ops import blend_anchor_motion, farthest_point_sample, index_points
+from reart_tpu.ops import farthest_point_sample, index_points
+from reart_tpu.ops.interpolate import blend_anchor_motion_batched
 from reart_tpu.ops.assignment import auction_lap
 from reart_tpu.ops.distance import pairwise_sqdist
 from reart_tpu.train.schedules import tau_cosine
@@ -77,8 +78,10 @@ class FitConfig:
     cano_idx: int = 0
     # max iterations per device dispatch: bounds single-execution wall time
     # (long-running executions trip TPU-runtime watchdogs) and sets the
-    # granularity at which the host can observe progress
-    dispatch_chunk: int = 50
+    # granularity at which the host can observe progress. 100 iterations =
+    # ~1 s device time at nao scale; lower it for workloads whose per-iter
+    # cost is dominated by huge LAP solves (projection faithful protocol)
+    dispatch_chunk: int = 100
     # watchdog for one dispatch's completion fence: must cover the FIRST
     # dispatch's remote compile (minutes) plus the chunk's execution; a
     # fence that outlives this is treated as a lost-completion failure and
@@ -182,9 +185,8 @@ def _flow_term(pc_trans_list, cano_pc, flow_ctx: FlowContext, cfg: FitConfig,
     the masked flow loss (reference run_robot.py:195-213)."""
     complete_pred = _complete(pc_trans_list, cano_pc, cano_idx)
     query_list = complete_pred[:-1]  # (T-1, N, 3)
-    blended, mask = jax.vmap(
-        functools.partial(blend_anchor_motion, return_mask=True)
-    )(query_list, flow_ctx.pc_ref, flow_ctx.flow_ref)
+    blended, mask = blend_anchor_motion_batched(
+        query_list, flow_ctx.pc_ref, flow_ctx.flow_ref)
     blended = jax.lax.stop_gradient(blended)
     mask = jax.lax.stop_gradient(mask)
     pred_flow = complete_pred[1:] - complete_pred[:-1]

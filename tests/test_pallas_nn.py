@@ -79,3 +79,112 @@ def test_bidir_ties_to_lower_index():
     with pltpu.force_tpu_interpret_mode():
         _, fi, _, bi = nn_bidir_pallas(src, tgt)
     assert int(fi.max()) == 0 and int(bi.max()) == 0
+
+
+def _blend3_oracle(q, r, f):
+    """Brute-force (x-y)^2 3-NN inverse-distance blend (the kernel's distance
+    formula — the jnp path's x^2+y^2-2xy differs in ulps, which can flip
+    near-tied neighbor choices, so the oracle recomputes exactly)."""
+    d = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)  # (n, m)
+    idx = np.argsort(d, axis=1, kind="stable")[:, :3]
+    d3 = np.take_along_axis(d, idx, axis=1)
+    dist3 = np.maximum(np.sqrt(d3), 1e-10)
+    w = 1.0 / dist3
+    w = w / w.sum(1, keepdims=True)
+    flows = f[idx]  # (n, 3, 3)
+    blended = (flows * w[..., None]).sum(1)
+    min_d = dist3[:, 0]
+    flow_d = (flows ** 2).sum(-1).max(1)
+    mask = np.logical_or(min_d <= flow_d, min_d <= 0.05)
+    return blended, mask
+
+
+@pytest.mark.parametrize("n,m", [(64, 64), (100, 37), (256, 300)])
+def test_blend3_kernel_matches_oracle(n, m):
+    """Fused blend kernel == brute-force numpy blend (values + mask)."""
+    from reart_tpu.ops.pallas_nn import blend3_pallas
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(4, n, 3).astype(np.float32))
+    r = jnp.asarray(rng.randn(4, m, 3).astype(np.float32))
+    f = jnp.asarray(0.1 * rng.randn(4, m, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        blended, min_d, flow_d = blend3_pallas(q, r, f)
+    mask = np.logical_or(np.asarray(min_d) <= np.asarray(flow_d),
+                         np.asarray(min_d) <= 0.05)
+    for b in range(4):
+        ref_b, ref_m = _blend3_oracle(
+            np.asarray(q[b], np.float32), np.asarray(r[b], np.float32),
+            np.asarray(f[b], np.float32))
+        np.testing.assert_allclose(np.asarray(blended[b]), ref_b,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(mask[b], ref_m)
+
+
+def test_blend3_batched_dispatch_fallback():
+    """blend_anchor_motion_batched falls back to the jnp path off-TPU and
+    matches the per-frame function."""
+    from reart_tpu.ops.interpolate import (
+        blend_anchor_motion,
+        blend_anchor_motion_batched,
+    )
+
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(3, 50, 3).astype(np.float32))
+    r = jnp.asarray(rng.randn(3, 40, 3).astype(np.float32))
+    f = jnp.asarray(0.1 * rng.randn(3, 40, 3).astype(np.float32))
+    blended, mask = blend_anchor_motion_batched(q, r, f)
+    ref_b, ref_m = blend_anchor_motion(q[0], r[0], f[0], return_mask=True)
+    np.testing.assert_allclose(np.asarray(blended[0]), np.asarray(ref_b),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mask[0]), np.asarray(ref_m))
+
+
+def test_nn1_coords_matches_oracle():
+    from reart_tpu.ops.pallas_nn import nn1_coords_pallas
+
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(3, 100, 3).astype(np.float32))
+    r = jnp.asarray(rng.randn(3, 77, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        d, idx, coords = nn1_coords_pallas(q, r)
+    for b in range(3):
+        dm = ((np.asarray(q[b])[:, None] - np.asarray(r[b])[None]) ** 2).sum(-1)
+        ref_i = dm.argmin(1)
+        np.testing.assert_array_equal(np.asarray(idx[b]), ref_i)
+        np.testing.assert_allclose(np.asarray(d[b]), dm.min(1), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(coords[b]),
+                                   np.asarray(r[b])[ref_i], rtol=1e-6)
+
+
+def test_nn_points_custom_vjp_grads_match_gather_path():
+    """Gradients of the kernel chamfer path == gradients of the
+    gather-recompute formulation, for BOTH clouds."""
+    from reart_tpu.ops.distance import (
+        _gathered_sqdist,
+        _nn_points_pallas,
+        nearest_neighbor,
+    )
+
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    r = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32))
+
+    def loss_kernel(q, r):
+        d, _ = _nn_points_pallas(q, r)
+        return jnp.sum(d * jnp.arange(d.shape[-1], dtype=jnp.float32))
+
+    def loss_gather(q, r):
+        _, idx = nearest_neighbor(jax.lax.stop_gradient(q),
+                                  jax.lax.stop_gradient(r))
+        d = _gathered_sqdist(q, r, idx)
+        return jnp.sum(d * jnp.arange(d.shape[-1], dtype=jnp.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        gq_k, gr_k = jax.grad(loss_kernel, argnums=(0, 1))(q, r)
+    gq_g, gr_g = jax.grad(loss_gather, argnums=(0, 1))(q, r)
+    np.testing.assert_allclose(np.asarray(gq_k), np.asarray(gq_g),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr_k), np.asarray(gr_g),
+                               rtol=1e-4, atol=1e-5)
