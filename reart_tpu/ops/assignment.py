@@ -148,18 +148,23 @@ def auction_lap(
         price = jnp.zeros((b, m), dtype=jnp.float32)
     from reart_tpu.ops.pallas_auction import (
         auction_solve_resident,
+        auction_solve_resident_hbm,
         resident_available,
+        resident_hbm_available,
     )
 
     if use_resident is None:
         use_resident = resident_available(n, m)
-    if use_resident:
+    use_resident_hbm = not use_resident and resident_hbm_available(n, m)
+    if use_resident or use_resident_hbm:
         # entire epsilon-scaled solve in ONE kernel launch per call, with
-        # per-batch-element early exit on convergence (pallas_auction.py)
+        # per-batch-element early exit on convergence (pallas_auction.py);
+        # large problems stream the benefit matrix from HBM per sweep
         eps_list = tuple(float(eps_min * scale_factor ** k)
                          for k in range(num_scales - 1, -1, -1))
-        row_to_col, price = auction_solve_resident(
-            benefit, price, eps_list, max_sweeps)
+        solve = (auction_solve_resident if use_resident
+                 else auction_solve_resident_hbm)
+        row_to_col, price = solve(benefit, price, eps_list, max_sweeps)
     else:
         row_to_col = jnp.full((b, n), -1, dtype=jnp.int32)
         for k in range(num_scales - 1, -1, -1):

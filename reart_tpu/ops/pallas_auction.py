@@ -286,3 +286,193 @@ def resident_available(n: int, m: int) -> bool:
     if n % 8 != 0 or m % 128 != 0:
         return False
     return use_pallas((1, n, 3), (1, m, 3))
+
+
+# ---------------------------------------------------------------------------
+# HBM-streaming resident auction: resident control flow at sizes whose
+# benefit matrix does NOT fit in VMEM (2048^2 robot faithful protocol,
+# 4096^2 sapien downsample=1)
+# ---------------------------------------------------------------------------
+#
+# Same epsilon-phase/while_loop structure as `_resident_kernel`, but the
+# benefit matrix stays in HBM and each sweep streams it through a VMEM strip
+# via explicit async DMA — one full HBM read per sweep (~20 us at 2048^2),
+# against the multi-kernel fallback's per-sweep launch + accumulator
+# round-trips (measured ~70 ms per warm LAP at (9, 2048, 2048); the whole
+# strip-resident solve runs in one launch). Column-phase work (bids,
+# winners, seat/unseat) needs no benefit reads at all: bids are one-hot per
+# row, so every (N,)-indexed lookup is a strip-masked reduction.
+
+# Above 2048^2 the strip-resident solve LOSES to the two-kernel sweep path
+# (measured 699 vs 132 ms at 4096^2: per-element sequential sweeps plus
+# strip temporaries at (4096, TS) stop paying for the saved launches), so
+# the window is (RESIDENT_MAX_ELEMS, 2048^2].
+RESIDENT_HBM_MAX_ELEMS = 2048 * 2048
+
+
+def _hbm_strip_size(n: int, m: int) -> int:
+    """Largest multiple of 128 dividing m with the (N, TS) f32 strip at
+    ~4 MB: bigger strips mean fewer serialized DMA copy+wait stalls per
+    sweep; the kernel raises its VMEM limit to 48 MB to make room for the
+    strip-shaped temporaries (distance, compare masks, winner selects)."""
+    cap = max(128, (4 * 1024 * 1024 // 4) // max(n, 1))
+    ts = min(cap - cap % 128, m)
+    while ts > 128 and m % ts != 0:
+        ts -= 128
+    return ts
+
+
+def _resident_hbm_kernel(eps_list, max_sweeps, n, m, ts,
+                         b_hbm, p_ref, r2c_ref, po_ref, strip, sem):
+    bi = pl.program_id(0)  # b_hbm is the FULL (B, N, M) array: ANY-space
+    nstrips = m // ts      # inputs are not windowed per grid step
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    # prices live in the OUTPUT ref: Mosaic has no dynamic_slice on values,
+    # but refs index with pl.ds — sweeps read/update price strips in place
+    po_ref[0, 0] = p_ref[0, 0]
+
+    def sweep(state):
+        r2c, it, eps = state
+        unassigned = r2c < 0
+
+        def strip_copy(s, slot):
+            return pltpu.make_async_copy(
+                b_hbm.at[bi, :, pl.ds(s * ts, ts)], strip.at[slot],
+                sem.at[slot])
+
+        def rowpass(s, carry):
+            bv, sv, bj = carry
+            slot = jax.lax.rem(s, 2)
+
+            @pl.when(s == 0)
+            def _():
+                strip_copy(s, slot).start()
+
+            # double buffering: stream strip s+1 while computing strip s
+            @pl.when(s + 1 < nstrips)
+            def _():
+                strip_copy(s + 1, jax.lax.rem(s + 1, 2)).start()
+
+            strip_copy(s, slot).wait()
+            pr = po_ref[0, 0, pl.ds(s * ts, ts)]
+            v = strip[slot] - pr[None, :]              # (N, TS)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n, ts), 1) + s * ts
+            sm1 = jnp.max(v, axis=1)
+            sa1 = jnp.min(jnp.where(v == sm1[:, None], cols, INT_MAX), axis=1)
+            ssel = cols == sa1[:, None]
+            sm2 = jnp.max(jnp.where(ssel, NEG_INF, v), axis=1)
+            # strips are disjoint column sets; strictly-greater keeps the
+            # lower column index on ties (same merge as _row_top2_kernel)
+            better = sm1 > bv
+            return (jnp.where(better, sm1, bv),
+                    jnp.where(better, jnp.maximum(bv, sm2),
+                              jnp.maximum(sv, sm1)),
+                    jnp.where(better, sa1, bj))
+
+        neg = jnp.full((n,), NEG_INF, jnp.float32)
+        bv, sv, bj = jax.lax.fori_loop(
+            0, nstrips, rowpass, (neg, neg, jnp.zeros((n,), jnp.int32)))
+
+        bid = jnp.where(unassigned, bv - sv + eps, NEG_INF)
+
+        def colpass(s, carry):
+            wop, rebid, wob, gob = carry
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n, ts), 1) + s * ts
+            hit = bj[:, None] == cols                  # (N, TS)
+            contrib = jnp.where(hit, bid[:, None], NEG_INF)
+            col_bid_s = jnp.max(contrib, axis=0)       # (TS,)
+            got_s = col_bid_s > NEG_INF
+            is_win = jnp.logical_and(contrib == col_bid_s[None, :],
+                                     got_s[None, :])
+            col_winner_s = jnp.min(
+                jnp.where(is_win, row_ids[:, None], INT_MAX), axis=0)
+
+            pr = po_ref[0, 0, pl.ds(s * ts, ts)]
+            po_ref[0, 0, pl.ds(s * ts, ts)] = jnp.where(
+                got_s, pr + col_bid_s, pr)
+
+            # (N,)-indexed lookups as strip-masked reductions
+            held_s = cols == r2c[:, None]
+            sel_s = hit
+            got_i = got_s.astype(jnp.int32)[None, :]
+            wop = jnp.minimum(wop, jnp.min(
+                jnp.where(held_s, col_winner_s[None, :], INT_MAX), axis=1))
+            rebid = jnp.maximum(rebid, jnp.max(
+                jnp.where(jnp.logical_and(held_s, got_s[None, :]), 1, 0),
+                axis=1))
+            wob = jnp.minimum(wob, jnp.min(
+                jnp.where(sel_s, col_winner_s[None, :], INT_MAX), axis=1))
+            gob = jnp.maximum(gob, jnp.max(
+                jnp.where(sel_s, got_i, 0), axis=1))
+            return wop, rebid, wob, gob
+
+        imax = jnp.full((n,), INT_MAX, jnp.int32)
+        zero = jnp.zeros((n,), jnp.int32)
+        wop, rebid, wob, gob = jax.lax.fori_loop(
+            0, nstrips, colpass, (imax, zero, imax, zero))
+
+        r2c = jnp.where(jnp.logical_and(rebid > 0, wop != row_ids), -1, r2c)
+        seat = unassigned & (wob == row_ids) & (gob > 0)
+        r2c = jnp.where(seat, bj, r2c)
+        return r2c, it + 1, eps
+
+    def phase_cond(state):
+        r2c, it, _ = state
+        return jnp.logical_and(jnp.min(r2c) < 0, it < max_sweeps)
+
+    r2c = jnp.full((n,), -1, jnp.int32)
+    for eps in eps_list:
+        r2c = jnp.full((n,), -1, jnp.int32)
+        r2c, _, _ = jax.lax.while_loop(
+            phase_cond, sweep,
+            (r2c, jnp.asarray(0, jnp.int32), jnp.asarray(eps, jnp.float32)))
+    r2c_ref[0, 0] = r2c
+
+
+@functools.partial(jax.jit, static_argnames=("eps_list", "max_sweeps", "ts"))
+def auction_solve_resident_hbm(benefit: jnp.ndarray, price: jnp.ndarray,
+                               eps_list: tuple, max_sweeps: int,
+                               ts: int | None = None):
+    """Full epsilon-scaled auction with the benefit matrix streamed from HBM
+    strip-by-strip each sweep. Same contract as auction_solve_resident."""
+    b, n, m = benefit.shape
+    if ts is None:
+        ts = _hbm_strip_size(n, m)
+    r2c, po = pl.pallas_call(
+        functools.partial(_resident_hbm_kernel, eps_list, max_sweeps,
+                          n, m, ts),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full array, manual DMA
+            pl.BlockSpec((1, 1, m), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, n, ts), jnp.float32),   # double-buffered strips
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        # the sweep keeps ~16 strip-shaped temporaries live; the default
+        # 16 MB scoped-VMEM budget measures 36 KB short at N=2048, TS=128
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+    )(benefit.astype(jnp.float32), price.astype(jnp.float32)[:, None, :])
+    return r2c[:, 0], po[:, 0]
+
+
+def resident_hbm_available(n: int, m: int) -> bool:
+    """Strip-streaming resident solve: TPU, aligned, bounded size."""
+    if n * m > RESIDENT_HBM_MAX_ELEMS or n * m <= RESIDENT_MAX_ELEMS:
+        return False
+    if n % 8 != 0 or m % 128 != 0 or m % _hbm_strip_size(n, m) != 0:
+        return False
+    return use_pallas((1, n, 3), (1, m, 3))

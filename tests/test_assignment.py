@@ -185,3 +185,67 @@ class TestPallasSweepKernels:
         np.testing.assert_array_equal(np.asarray(perm_j), np.asarray(perm_k))
         np.testing.assert_allclose(np.asarray(price_j), np.asarray(price_k),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestResidentHBM:
+    def test_hbm_solve_matches_phase_loop_multi_strip(self):
+        """Strip-streaming resident solve (forced 2-strip) == jnp phase loop."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.assignment import auction_lap
+        from reart_tpu.ops.pallas_auction import auction_solve_resident_hbm
+
+        rng = np.random.RandomState(5)
+        cost = jnp.asarray(rng.rand(2, 64, 256).astype(np.float32))
+        kw = dict(eps_min=1e-3, num_scales=2, scale_factor=10.0,
+                  max_sweeps=200, return_price=True)
+        perm_ref, price_ref = auction_lap(cost, use_resident=False, **kw)
+        eps_list = (1e-2, 1e-3)
+        with pltpu.force_tpu_interpret_mode():
+            r2c, price_k = auction_solve_resident_hbm(
+                -cost, jnp.zeros((2, 256), jnp.float32), eps_list, 200,
+                ts=128)
+        # same greedy completion as auction_lap
+        values = -cost - price_k[:, None, :]
+        fb = jnp.argmax(values, axis=-1).astype(jnp.int32)
+        perm_k = jnp.where(r2c < 0, fb, r2c)
+        np.testing.assert_array_equal(np.asarray(perm_ref), np.asarray(perm_k))
+        np.testing.assert_allclose(np.asarray(price_ref), np.asarray(price_k),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_hbm_warm_start_matches(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.assignment import auction_lap
+        from reart_tpu.ops.pallas_auction import auction_solve_resident_hbm
+
+        rng = np.random.RandomState(6)
+        cost = jnp.asarray(rng.rand(2, 32, 384).astype(np.float32))
+        kw = dict(eps_min=1e-3, num_scales=1, scale_factor=10.0,
+                  max_sweeps=200, return_price=True)
+        perm_ref, price1 = auction_lap(cost, use_resident=False, **kw)
+        perm_j, price_j = auction_lap(cost, price=price1, use_resident=False,
+                                      **kw)
+        with pltpu.force_tpu_interpret_mode():
+            r2c, price_k = auction_solve_resident_hbm(
+                -cost, price1, (1e-3,), 200, ts=128)
+        values = -cost - price_k[:, None, :]
+        fb = jnp.argmax(values, axis=-1).astype(jnp.int32)
+        perm_k = jnp.where(r2c < 0, fb, r2c)
+        np.testing.assert_array_equal(np.asarray(perm_j), np.asarray(perm_k))
+        np.testing.assert_allclose(np.asarray(price_j), np.asarray(price_k),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_hbm_gating(self):
+        from reart_tpu.ops.pallas_auction import (
+            RESIDENT_MAX_ELEMS,
+            _hbm_strip_size,
+            resident_hbm_available,
+        )
+
+        # sizes at or below the VMEM-resident bound never take the HBM path
+        assert not resident_hbm_available(1024, 1024)
+        for n, m in ((2048, 2048), (4096, 4096), (2048, 4096)):
+            ts = _hbm_strip_size(n, m)
+            assert ts % 128 == 0 and m % ts == 0 and n * ts * 4 <= 4 << 20
+            assert n * m > RESIDENT_MAX_ELEMS
