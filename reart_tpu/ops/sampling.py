@@ -59,6 +59,13 @@ def masked_farthest_point_sample(
 
 
 def _fps_loop(xyz, mask, start, npoint):
+    from reart_tpu.ops.pallas_fps import fps_kernel_available, fps_pallas
+
+    if fps_kernel_available(xyz.shape[1], npoint, batch=xyz.shape[0]):
+        # resident kernel: the whole sequential loop in one launch per
+        # element (the fori_loop path pays ~0.3 ms/step of XLA op overhead
+        # for microseconds of math); bit-identical selection order
+        return fps_pallas(jax.lax.stop_gradient(xyz), mask, npoint)
     b, n, _ = xyz.shape
     neg_inf = jnp.asarray(-jnp.inf, dtype=xyz.dtype)
 

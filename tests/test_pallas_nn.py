@@ -188,3 +188,26 @@ def test_nn_points_custom_vjp_grads_match_gather_path():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gr_k), np.asarray(gr_g),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fps_kernel_matches_jnp_loop():
+    """Resident FPS kernel selects the identical index sequence as the
+    fori_loop path, masked and unmasked."""
+    from reart_tpu.ops.pallas_fps import fps_pallas
+    from reart_tpu.ops.sampling import _fps_loop
+
+    rng = np.random.RandomState(7)
+    xyz = jnp.asarray(rng.randn(3, 200, 3).astype(np.float32))
+    mask_all = jnp.ones((3, 200), bool)
+    start0 = jnp.zeros((3,), jnp.int32)
+    ref = _fps_loop(xyz, mask_all, start0, 64)
+    with pltpu.force_tpu_interpret_mode():
+        got = fps_pallas(xyz, mask_all, 64)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    mask = jnp.asarray(rng.rand(3, 200) > 0.3)
+    start = jnp.argmax(mask, axis=-1).astype(jnp.int32)
+    ref_m = _fps_loop(xyz, mask, start, 32)
+    with pltpu.force_tpu_interpret_mode():
+        got_m = fps_pallas(xyz, mask, 32)
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
