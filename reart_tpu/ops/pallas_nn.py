@@ -45,16 +45,20 @@ def _pick_tile_m(m: int) -> int:
 def _ksmallest(vals, idxs, k: int):
     """k smallest of each row, ascending, ties to the lowest POSITION (which
     callers arrange to mean lowest original index). Pure min-reductions —
-    lax.top_k has no Pallas TPU lowering.
+    lax.top_k has no Pallas TPU lowering, and Mosaic's native argmin does
+    NOT honor the first-min tie rule on hardware (measured: all-ties
+    returns lane 127), so the position is a masked min over an iota.
 
     vals (R, W) float32, idxs (R, W) int32 -> ((R, k), (R, k))."""
     r, w = vals.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    int_max = jnp.iinfo(jnp.int32).max
     out_v, out_i = [], []
     v = vals
     for _ in range(k):
         m = jnp.min(v, axis=1)                        # (R,)
-        first = jnp.argmin(v, axis=1).astype(jnp.int32)  # first min = low pos
+        first = jnp.min(
+            jnp.where(v == m[:, None], pos, int_max), axis=1)  # low pos wins
         sel = pos == first[:, None]
         out_v.append(m)
         out_i.append(jnp.sum(jnp.where(sel, idxs, 0), axis=1))
@@ -301,7 +305,10 @@ def _nn1c_kernel(q_ref, r_ref, d_ref, i_ref, c_ref):
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
     row_min = jnp.min(d, axis=1)                       # (TN,)
-    arg_local = jnp.argmin(d, axis=1).astype(jnp.int32)  # first min: low idx
+    # first-min position via masked min (Mosaic argmin breaks the tie rule)
+    arg_local = jnp.min(
+        jnp.where(d == row_min[:, None], pos, jnp.iinfo(jnp.int32).max),
+        axis=1)
     sel = (pos == arg_local[:, None]).astype(jnp.float32)
     coords = jax.lax.dot_general(
         sel, r, (((1,), (0,)), ((), ())),
