@@ -28,6 +28,19 @@ def on_host():
         yield
 
 
+@contextlib.contextmanager
+def on_device():
+    """Escape hatch: run the enclosed work on the accelerator even inside an
+    `on_host()` region (e.g. the one-off auction presolve that warm-starts
+    the host JV in the energy metric). No-op when only a CPU exists."""
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    if not accel:
+        yield None
+        return
+    with jax.default_device(accel[0]):
+        yield accel[0]
+
+
 def to_host(tree):
     """Move a pytree's array leaves to the local CPU backend.
 

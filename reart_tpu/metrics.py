@@ -81,17 +81,39 @@ def compute_chamfer_list(points_set1, points_set2, reduction: str = "sum"):
 def compute_ass_err(pc_src_list, pc_tgt_list) -> float:
     """Mean optimal-assignment point error (utils/model_utils.py:92-103):
     per frame, Hungarian on the EUCLIDEAN cdist, then the mean SQUARED
-    distance over matched pairs. This is a once-per-fit model-selection
-    metric, so it uses the EXACT batched JV solver (native C++, replacing
-    the reference's multiprocessing pool) on the host."""
-    from reart_tpu.native import lap_solve_batch
+    distance over matched pairs. EXACT, but structured for the hardware:
+    the TPU auction presolves near-optimal column duals (one kernel
+    launch), and the host JV (native C++, replacing the reference's
+    multiprocessing pool) finishes from that warm start with lazily
+    materialized cost rows — the (T, N, N) cost matrix never exists on
+    either side of the tunnel."""
+    from reart_tpu.native import lap_solve_points
 
-    src = jnp.asarray(pc_src_list, jnp.float32)
-    tgt = jnp.asarray(pc_tgt_list, jnp.float32)
-    sq = pairwise_sqdist(src, tgt)
-    perm = jnp.asarray(lap_solve_batch(np.sqrt(np.asarray(sq))))
-    sq_matched = assignment_cost(sq, perm)  # (T,) summed squared dists
-    return float(jnp.mean(sq_matched) / src.shape[1])
+    src = np.asarray(pc_src_list, np.float32)
+    tgt = np.asarray(pc_tgt_list, np.float32)
+    v_init = _auction_duals(src, tgt)
+    perm = lap_solve_points(src, tgt, v_init=v_init)
+    matched = np.take_along_axis(tgt, perm[..., None].astype(np.int64), axis=1)
+    sq_matched = ((src - matched) ** 2).sum(-1).sum(-1)  # (T,)
+    return float(sq_matched.mean() / src.shape[1])
+
+
+def _auction_duals(src: np.ndarray, tgt: np.ndarray):
+    """Near-optimal column duals from the TPU auction, or None on CPU-only
+    hosts / small problems (where the cold JV is already fast)."""
+    from reart_tpu.hostops import on_device
+    from reart_tpu.ops.assignment import auction_lap
+
+    if src.shape[-2] * tgt.shape[-2] < 1024 * 1024:
+        return None
+    with on_device() as dev:
+        if dev is None:
+            return None
+        cost = jnp.sqrt(pairwise_sqdist(jnp.asarray(src), jnp.asarray(tgt)))
+        _, price = auction_lap(cost, eps_min=1e-5, num_scales=3,
+                               scale_factor=30.0, max_sweeps=200,
+                               return_price=True)
+        return -np.asarray(price)
 
 
 def energy(pred_pc_list, pc_list, trans_list, joint_connection, seg_part,

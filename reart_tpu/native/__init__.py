@@ -64,6 +64,13 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ]
+        if hasattr(lib, "lap_points_batch"):
+            lib.lap_points_batch.restype = ctypes.c_int
+            lib.lap_points_batch.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ]
         if hasattr(lib, "ted_distance"):
             lib.ted_distance.restype = ctypes.c_int
             lib.ted_distance.argtypes = [
@@ -101,6 +108,45 @@ def lap_solve_batch(cost: np.ndarray) -> np.ndarray:
         rows, cols = linear_sum_assignment(cost[k])
         out[k, rows] = cols
     return out
+
+
+def lap_solve_points(src: np.ndarray, tgt: np.ndarray,
+                     v_init: np.ndarray | None = None) -> np.ndarray:
+    """Exact LAP under euclidean point-pair costs. src (B, N, 3),
+    tgt (B, M, 3), optional initial column duals v_init (B, M) (e.g. negated
+    TPU-auction prices) -> row_to_col (B, N) int32.
+
+    Cost rows are materialized lazily INSIDE the solver (never the full
+    (B, N, M) matrix — 600 MB at nao-energy scale), and warm duals let each
+    augmentation's shortest-path tree terminate early. Falls back to the
+    materialized-cost path when the native library is unavailable."""
+    src = np.ascontiguousarray(src, dtype=np.float32)
+    tgt = np.ascontiguousarray(tgt, dtype=np.float32)
+    if src.ndim == 2:
+        src, tgt = src[None], tgt[None]
+        if v_init is not None:
+            v_init = v_init[None]
+    b, n, _ = src.shape
+    m = tgt.shape[1]
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "lap_points_batch"):
+        out = np.empty((b, n), dtype=np.int32)
+        vp = None
+        if v_init is not None:
+            v_init = np.ascontiguousarray(v_init, dtype=np.float32)
+            assert v_init.shape == (b, m), v_init.shape
+            vp = v_init.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        rc = lib.lap_points_batch(
+            b, n, m,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            tgt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            vp,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return out
+    diff = src[:, :, None, :] - tgt[:, None, :, :]
+    return lap_solve_batch(np.sqrt((diff ** 2).sum(-1)))
 
 
 def ted_distance(pre_l: np.ndarray, pre_r: np.ndarray) -> int:

@@ -12,15 +12,28 @@
 #include <limits>
 #include <vector>
 
+#include <cmath>
+
 namespace {
 
 // Successive-shortest-path assignment with dual potentials.
-// cost: row-major n x m, n <= m. Writes row_to_col[n]. Returns 0 on success.
-int solve_one(int n, int m, const float* cost, int32_t* row_to_col) {
+// RowFn: int -> const float* (the i-th cost row, length m). n <= m.
+// v_init: optional initial column duals (length m) — e.g. negated prices
+// from the TPU auction presolve; the SSP invariant only requires matched
+// edges to stay tight, so ANY starting v is exact (JV's own column
+// reduction is the classic non-zero example), and near-optimal duals make
+// each augmentation's shortest-path tree terminate after a few columns.
+// Writes row_to_col[n]. Returns 0 on success.
+template <class RowFn>
+int solve_one(int n, int m, RowFn row_of, const float* v_init,
+              int32_t* row_to_col) {
     const double INF = std::numeric_limits<double>::infinity();
     std::vector<double> u(n, 0.0), v(m + 1, 0.0), minv(m + 1);
     std::vector<int> p(m + 1, -1), way(m + 1, 0);
     std::vector<char> used(m + 1);
+    if (v_init) {
+        for (int j = 0; j < m; ++j) v[j] = static_cast<double>(v_init[j]);
+    }
 
     for (int i = 0; i < n; ++i) {
         std::fill(minv.begin(), minv.end(), INF);
@@ -30,7 +43,7 @@ int solve_one(int n, int m, const float* cost, int32_t* row_to_col) {
         do {
             used[j0] = 1;
             const int i0 = p[j0];
-            const float* row = cost + static_cast<size_t>(i0) * m;
+            const float* row = row_of(i0);
             double delta = INF;
             int j1 = -1;
             const double ui0 = u[i0];
@@ -70,20 +83,70 @@ int solve_one(int n, int m, const float* cost, int32_t* row_to_col) {
     return 0;
 }
 
+// Lazily materialized euclidean cost rows from two point clouds: the
+// (n, m) matrix is never built up front (at 4096^2 x 9 frames that is
+// 600 MB of host traffic for the energy metric); a row is computed once,
+// the first time the shortest-path tree scans it.
+struct PointRows {
+    const float* src;  // (n, 3)
+    const float* tgt;  // (m, 3)
+    int m;
+    std::vector<std::vector<float>> cache;
+
+    PointRows(const float* s, const float* t, int n_, int m_)
+        : src(s), tgt(t), m(m_), cache(n_) {}
+
+    const float* operator()(int i) {
+        std::vector<float>& row = cache[i];
+        if (row.empty()) {
+            row.resize(m);
+            const float sx = src[3 * i], sy = src[3 * i + 1],
+                        sz = src[3 * i + 2];
+            for (int j = 0; j < m; ++j) {
+                const float dx = sx - tgt[3 * j];
+                const float dy = sy - tgt[3 * j + 1];
+                const float dz = sz - tgt[3 * j + 2];
+                row[j] = std::sqrt(dx * dx + dy * dy + dz * dz);
+            }
+        }
+        return row.data();
+    }
+};
+
 }  // namespace
 
 extern "C" {
 
 int lap_solve(int n, int m, const float* cost, int32_t* row_to_col) {
     if (n > m) return -2;
-    return solve_one(n, m, cost, row_to_col);
+    auto row_of = [&](int i) { return cost + static_cast<size_t>(i) * m; };
+    return solve_one(n, m, row_of, nullptr, row_to_col);
 }
 
 // Batched entry: cost (b, n, m) row-major, out (b, n).
 int lap_solve_batch(int b, int n, int m, const float* cost, int32_t* out) {
     if (n > m) return -2;
     for (int k = 0; k < b; ++k) {
-        const int rc = solve_one(n, m, cost + static_cast<size_t>(k) * n * m,
+        const float* ck = cost + static_cast<size_t>(k) * n * m;
+        auto row_of = [&](int i) { return ck + static_cast<size_t>(i) * m; };
+        const int rc = solve_one(n, m, row_of, nullptr,
+                                 out + static_cast<size_t>(k) * n);
+        if (rc != 0) return rc;
+    }
+    return 0;
+}
+
+// Batched euclidean-cost entry: src (b, n, 3), tgt (b, m, 3), optional
+// v_init (b, m) initial column duals (pass NULL for cold start), out (b, n).
+int lap_points_batch(int b, int n, int m, const float* src, const float* tgt,
+                     const float* v_init, int32_t* out) {
+    if (n > m) return -2;
+    for (int k = 0; k < b; ++k) {
+        PointRows rows(src + static_cast<size_t>(k) * n * 3,
+                       tgt + static_cast<size_t>(k) * m * 3, n, m);
+        const float* vk =
+            v_init ? v_init + static_cast<size_t>(k) * m : nullptr;
+        const int rc = solve_one(n, m, rows, vk,
                                  out + static_cast<size_t>(k) * n);
         if (rc != 0) return rc;
     }

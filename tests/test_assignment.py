@@ -249,3 +249,60 @@ class TestResidentHBM:
             ts = _hbm_strip_size(n, m)
             assert ts % 128 == 0 and m % ts == 0 and n * ts * 4 <= 4 << 20
             assert n * m > RESIDENT_MAX_ELEMS
+
+
+class TestLapPoints:
+    def test_points_solver_matches_scipy(self, rng=None):
+        from scipy.optimize import linear_sum_assignment
+
+        from reart_tpu.native import lap_solve_points
+
+        rng = np.random.RandomState(8)
+        src = rng.randn(3, 60, 3).astype(np.float32)
+        tgt = rng.randn(3, 80, 3).astype(np.float32)
+        perm = lap_solve_points(src, tgt)
+        for k in range(3):
+            cost = np.sqrt(((src[k][:, None] - tgt[k][None]) ** 2).sum(-1))
+            r, c = linear_sum_assignment(cost)
+            ours = cost[np.arange(60), perm[k]].sum()
+            assert len(np.unique(perm[k])) == 60  # valid matching
+            np.testing.assert_allclose(ours, cost[r, c].sum(), rtol=1e-5)
+
+    def test_warm_duals_preserve_optimality(self):
+        """SSP from ARBITRARY initial column duals stays exact (the property
+        the TPU-auction warm start relies on)."""
+        from scipy.optimize import linear_sum_assignment
+
+        from reart_tpu.native import lap_solve_points
+
+        rng = np.random.RandomState(9)
+        src = rng.randn(2, 50, 3).astype(np.float32)
+        tgt = rng.randn(2, 50, 3).astype(np.float32)
+        for scale in (0.0, 0.5, 10.0):
+            v = (scale * rng.randn(2, 50)).astype(np.float32)
+            perm = lap_solve_points(src, tgt, v_init=v)
+            for k in range(2):
+                cost = np.sqrt(
+                    ((src[k][:, None] - tgt[k][None]) ** 2).sum(-1))
+                r, c = linear_sum_assignment(cost)
+                assert len(np.unique(perm[k])) == 50
+                np.testing.assert_allclose(
+                    cost[np.arange(50), perm[k]].sum(), cost[r, c].sum(),
+                    rtol=1e-5)
+
+    def test_compute_ass_err_matches_reference_formula(self):
+        from scipy.optimize import linear_sum_assignment
+
+        from reart_tpu.metrics import compute_ass_err
+
+        rng = np.random.RandomState(10)
+        src = rng.randn(4, 40, 3).astype(np.float32)
+        tgt = src + 0.1 * rng.randn(4, 40, 3).astype(np.float32)
+        got = compute_ass_err(src, tgt)
+        errs = []
+        for k in range(4):
+            cost = np.sqrt(((src[k][:, None] - tgt[k][None]) ** 2).sum(-1))
+            r, c = linear_sum_assignment(cost)
+            errs.append(((src[k][r] - tgt[k][c]) ** 2).sum(-1))
+        ref = np.concatenate(errs).mean()  # reference: mean over all pairs
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
