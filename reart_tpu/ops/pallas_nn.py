@@ -391,32 +391,45 @@ def _blend3_kernel(q_ref, r_ref, f_ref, out_ref, md_ref, fd_ref):
         diff = q[:, c:c + 1] - r[:, c].reshape(1, -1)
         d = d + diff * diff
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
-    d3, i3 = _ksmallest(d, cols, 3)                    # (TN, 3) ascending
-    dist3 = jnp.maximum(jnp.sqrt(jnp.clip(d3, min=0.0)), 1e-10)
-    w3 = 1.0 / dist3
-    w3 = w3 / jnp.sum(w3, axis=1, keepdims=True)
-
+    # 3-smallest extraction with the weight matrix built IN the extraction
+    # loop (selection masks are reused, not rebuilt): weights accumulate
+    # UNnormalized and the blend divides by their sum after the matmul —
+    # same math as normalize-then-blend, ~25% fewer (TN, TM) passes
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+    int_max = jnp.iinfo(jnp.int32).max
     fsq = jnp.sum(f * f, axis=1).reshape(1, -1)        # (1, TM)
     w_mat = jnp.zeros((tn, tm), jnp.float32)
-    flow_d = jnp.zeros((tn,), jnp.float32)
+    inv_sum = jnp.zeros((tn,), jnp.float32)
+    min_d = flow_d = None
+    v = d
     for j in range(3):
-        sel = (cols == i3[:, j:j + 1]).astype(jnp.float32)  # one 1 per row
-        w_mat = w_mat + w3[:, j:j + 1] * sel
-        fdj = jnp.sum(sel * fsq, axis=1)
+        m = jnp.min(v, axis=1)                         # (TN,)
+        first = jnp.min(jnp.where(v == m[:, None], pos, int_max), axis=1)
+        sel = pos == first[:, None]                    # one True per row
+        dist_j = jnp.maximum(jnp.sqrt(jnp.clip(m, min=0.0)), 1e-10)
+        wj = 1.0 / dist_j
+        w_mat = w_mat + jnp.where(sel, wj[:, None], 0.0)
+        inv_sum = inv_sum + wj
+        fdj = jnp.sum(jnp.where(sel, fsq, 0.0), axis=1)
         flow_d = fdj if j == 0 else jnp.maximum(flow_d, fdj)
+        if j == 0:
+            min_d = dist_j
+        if j < 2:
+            v = jnp.where(sel, jnp.inf, v)
 
-    out_ref[0] = jax.lax.dot_general(
+    blended = jax.lax.dot_general(
         w_mat, f, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (TN, 3)
-    md_ref[0, 0] = dist3[:, 0]
+    out_ref[0] = blended / inv_sum[:, None]
+    md_ref[0, 0] = min_d
     fd_ref[0, 0] = flow_d
 
 
 # the blend kernel keeps ~4 (TN, TM) f32 buffers live (distance matrix,
 # weight matrix, selection temporaries): at TN=256/TM=4096 that exceeds the
-# 16 MB scoped-VMEM budget once other kernels share the program
-BLEND_TILE_N = 128
+# default 16 MB scoped-VMEM budget, so the kernel raises its own limit
+BLEND_TILE_N = 256
+BLEND_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 @jax.jit
@@ -459,6 +472,8 @@ def blend3_pallas(query: jnp.ndarray, ref: jnp.ndarray, flow: jnp.ndarray):
             jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=BLEND_VMEM_LIMIT),
     )(qp, rp, fp)
     return out[:, :n], md[:, 0, :n], fd[:, 0, :n]
 
