@@ -65,6 +65,10 @@ def main():
     cfg = FitConfig(
         n_iter=n_iter, use_assign_loss=True, use_flow_loss=True,
         assign_iter=n_iter // 2, assign_gap=5, downsample=4,
+        # ~1.5 s of device work per dispatch at nao scale: amortizes the
+        # tunnel's serial per-dispatch enqueue (~0.4 s) without tripping
+        # the TPU-runtime execution watchdog
+        dispatch_chunk=200,
     )
     params = init_base_params(key, num_parts=20, pose_len=t - 1)
 

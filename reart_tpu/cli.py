@@ -68,6 +68,11 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     p.add_argument("--use_assign_loss", action="store_true")
     p.add_argument("--downsample", default=4 if domain != "sapien" else 1, type=int)
     p.add_argument("--assign_gap", default=5, type=int)
+    p.add_argument("--dispatch_chunk", default=100, type=int,
+                   help="iterations per device dispatch (bounds single-"
+                        "execution wall time; raise for faster workloads)")
+    p.add_argument("--pipeline_depth", default=4, type=int,
+                   help="device dispatches kept in flight before fencing")
     p.add_argument("--assign_sweeps", default=100, type=int,
                    help="auction sweep bound per epsilon phase (see "
                         "FitConfig.assign_sweeps)")
@@ -142,6 +147,8 @@ def fit_config(args, domain: str):
         weight_decay=args.weight_decay,
         cano_idx=args.cano_idx,
         assign_sweeps=args.assign_sweeps,
+        dispatch_chunk=args.dispatch_chunk,
+        pipeline_depth=args.pipeline_depth,
     )
 
 
