@@ -102,10 +102,14 @@ def _auction_duals(src: np.ndarray, tgt: np.ndarray):
     """Near-optimal column duals from the TPU auction, or None on CPU-only
     hosts / small problems (where the cold JV is already fast)."""
     from reart_tpu.hostops import on_device
+    from reart_tpu.native import get_lib
     from reart_tpu.ops.assignment import auction_lap
 
     if src.shape[-2] * tgt.shape[-2] < 1024 * 1024:
         return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lap_points_batch"):
+        return None  # fallback JV ignores duals; don't waste the presolve
     with on_device() as dev:
         if dev is None:
             return None

@@ -20,9 +20,11 @@ namespace {
 // RowFn: int -> const float* (the i-th cost row, length m). n <= m.
 // v_init: optional initial column duals (length m) — e.g. negated prices
 // from the TPU auction presolve; the SSP invariant only requires matched
-// edges to stay tight, so ANY starting v is exact (JV's own column
-// reduction is the classic non-zero example), and near-optimal duals make
-// each augmentation's shortest-path tree terminate after a few columns.
+// edges to stay tight, so ANY starting v is exact FOR SQUARE problems
+// (sum v[j] over the chosen columns is then matching-independent; JV's own
+// column reduction is the classic non-zero example). For n < m the column
+// SUBSET varies, so nonzero v biases the selection — callers must pass
+// nullptr then (lap_points_batch enforces this).
 // Writes row_to_col[n]. Returns 0 on success.
 template <class RowFn>
 int solve_one(int n, int m, RowFn row_of, const float* v_init,
@@ -144,8 +146,9 @@ int lap_points_batch(int b, int n, int m, const float* src, const float* tgt,
     for (int k = 0; k < b; ++k) {
         PointRows rows(src + static_cast<size_t>(k) * n * 3,
                        tgt + static_cast<size_t>(k) * m * 3, n, m);
-        const float* vk =
-            v_init ? v_init + static_cast<size_t>(k) * m : nullptr;
+        // warm duals are only exactness-preserving when n == m (see above)
+        const float* vk = (v_init && n == m)
+            ? v_init + static_cast<size_t>(k) * m : nullptr;
         const int rc = solve_one(n, m, rows, vk,
                                  out + static_cast<size_t>(k) * n);
         if (rc != 0) return rc;

@@ -81,9 +81,12 @@ def fps_pallas(xyz: jnp.ndarray, mask: jnp.ndarray, npoint: int):
 
 def fps_kernel_available(n: int, npoint: int, batch: int = 1) -> bool:
     """Kernel pays off when the step count makes XLA op overhead dominate,
-    and the (B, N) working set fits VMEM comfortably."""
+    and the working set fits VMEM: the kernel keeps ~7 (B, N)-sized f32/i32
+    buffers live (3 xyz channel planes, mask, running dist, step dist,
+    score/iota), so bound batch*n such that 7 buffers stay well under the
+    16 MB scoped budget."""
     from reart_tpu.ops.pallas_nn import use_pallas
 
-    if n < 512 or npoint < 64 or batch * n > 16 * 262144:
+    if n < 512 or npoint < 64 or batch * n > 393216:
         return False
     return use_pallas((1, n, 3), (1, n, 3))

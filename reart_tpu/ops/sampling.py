@@ -37,6 +37,8 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """
     b, n, _ = xyz.shape
     mask = jnp.ones((b, n), dtype=bool)
+    if _use_fps_kernel(xyz, npoint):
+        return fps_pallas_dispatch(xyz, mask, npoint)
     start = jnp.zeros((b,), dtype=jnp.int32)
     return _fps_loop(xyz, mask, start, npoint)
 
@@ -54,18 +56,32 @@ def masked_farthest_point_sample(
     xyz: (B, N, 3); mask: (B, N) bool. Caller guarantees >= npoint true
     entries per row (the reference raises otherwise; we cannot under jit).
     """
+    if _use_fps_kernel(xyz, npoint):
+        return fps_pallas_dispatch(xyz, mask, npoint)
     start = jnp.argmax(mask, axis=-1).astype(jnp.int32)
     return _fps_loop(xyz, mask, start, npoint)
 
 
-def _fps_loop(xyz, mask, start, npoint):
-    from reart_tpu.ops.pallas_fps import fps_kernel_available, fps_pallas
+def _use_fps_kernel(xyz, npoint: int) -> bool:
+    from reart_tpu.ops.pallas_fps import fps_kernel_available
 
-    if fps_kernel_available(xyz.shape[1], npoint, batch=xyz.shape[0]):
-        # resident kernel: the whole sequential loop in one launch per
-        # element (the fori_loop path pays ~0.3 ms/step of XLA op overhead
-        # for microseconds of math); bit-identical selection order
-        return fps_pallas(jax.lax.stop_gradient(xyz), mask, npoint)
+    return fps_kernel_available(xyz.shape[1], npoint, batch=xyz.shape[0])
+
+
+def fps_pallas_dispatch(xyz, mask, npoint: int):
+    """Resident-kernel FPS: the whole sequential loop in one launch (the
+    fori_loop path pays ~0.3 ms/step of XLA op overhead for microseconds of
+    math); bit-identical selection order. The kernel derives the start point
+    as the first masked index — exactly the two public entry points'
+    conventions (index 0 unmasked / first masked index), which is why the
+    dispatch lives HERE and not in `_fps_loop` (whose `start` argument is
+    free)."""
+    from reart_tpu.ops.pallas_fps import fps_pallas
+
+    return fps_pallas(jax.lax.stop_gradient(xyz), mask, npoint)
+
+
+def _fps_loop(xyz, mask, start, npoint):
     b, n, _ = xyz.shape
     neg_inf = jnp.asarray(-jnp.inf, dtype=xyz.dtype)
 

@@ -82,10 +82,11 @@ class FitConfig:
     # ~1 s device time at nao scale; lower it for workloads whose per-iter
     # cost is dominated by huge LAP solves (projection faithful protocol)
     dispatch_chunk: int = 100
-    # watchdog for one dispatch's completion fence: must cover the FIRST
-    # dispatch's remote compile (minutes) plus the chunk's execution; a
-    # fence that outlives this is treated as a lost-completion failure and
-    # the chunk is re-dispatched
+    # watchdog covering each dispatch ENQUEUE and each completion fence:
+    # must cover the FIRST enqueue's remote compile (minutes) plus a
+    # chunk's execution; a call that outlives this is treated as a
+    # wedged-tunnel/lost-completion failure and the pipeline rewinds to
+    # the last proven state
     dispatch_timeout: float = 900.0
     # dispatches kept in flight before fencing the oldest. The tunnel's
     # per-dispatch round trip (~0.7 s measured) otherwise serializes with
@@ -329,12 +330,12 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
     return recon_scan, assign_scan
 
 
-def _fence_with_watchdog(out, timeout: float):
-    """Block until `out`'s device buffers are ready, inside a watchdog thread.
+def _call_with_watchdog(fn, timeout: float):
+    """Run `fn()` inside a watchdog thread and return its value.
 
     Failures come in two shapes on a tunnel-attached chip: raised
-    JaxRuntimeErrors, and dispatches whose completion notification is
-    silently LOST (the fence then blocks forever while the chip idles).
+    JaxRuntimeErrors, and calls that silently HANG (a wedged tunnel can
+    stall an enqueue or a completion fence forever while the chip idles).
     On expiry a TimeoutError is raised; a hung thread is daemonic and
     abandoned."""
     import threading
@@ -343,10 +344,7 @@ def _fence_with_watchdog(out, timeout: float):
 
     def work():
         try:
-            jax.tree.map(
-                lambda x: x.block_until_ready(), out,
-                is_leaf=lambda x: hasattr(x, "block_until_ready"))
-            box["ok"] = True
+            box["out"] = fn()
         except BaseException as e:  # re-raised on the main thread
             box["err"] = e
 
@@ -354,51 +352,23 @@ def _fence_with_watchdog(out, timeout: float):
     th.start()
     th.join(timeout)
     if th.is_alive():
-        raise TimeoutError(f"device dispatch exceeded {timeout:.0f}s watchdog")
+        raise TimeoutError(f"device call exceeded {timeout:.0f}s watchdog")
     if "err" in box:
         raise box["err"]
+    return box.get("out")
 
 
-def dispatch_with_watchdog(fn, args, timeout: float, max_retries: int = 2):
-    """Run ONE bounded device dispatch synchronously, retrying transient
-    failures — steps are pure functions of their inputs, so re-running is
-    always safe. Both the call AND its fence run inside the watchdog thread:
-    a wedged tunnel can hang the dispatch itself, not just the fence."""
-    import threading
-    import time as _time
+def _fence_with_watchdog(out, timeout: float):
+    """Block until `out`'s device buffers are ready (watchdogged)."""
 
-    def run_once():
-        box = {}
+    def fence():
+        jax.tree.map(
+            lambda x: (x.block_until_ready()
+                       if hasattr(x, "block_until_ready") else x),
+            out,
+            is_leaf=lambda x: hasattr(x, "block_until_ready"))
 
-        def work():
-            try:
-                out = fn(*args)
-                jax.tree.map(
-                    lambda x: x.block_until_ready(), out,
-                    is_leaf=lambda x: hasattr(x, "block_until_ready"))
-                box["out"] = out
-            except BaseException as e:  # re-raised on the main thread
-                box["err"] = e
-
-        th = threading.Thread(target=work, daemon=True)
-        th.start()
-        th.join(timeout)
-        if th.is_alive():
-            raise TimeoutError(
-                f"device dispatch exceeded {timeout:.0f}s watchdog")
-        if "err" in box:
-            raise box["err"]
-        return box["out"]
-
-    for attempt in range(max_retries + 1):
-        try:
-            return run_once()
-        except (jax.errors.JaxRuntimeError, TimeoutError) as e:
-            if attempt == max_retries:
-                raise
-            print(f"[fit] transient device failure ({e}), retrying "
-                  f"dispatch ({attempt + 1}/{max_retries}) ...", flush=True)
-            _time.sleep(5.0 * (attempt + 1))
+    _call_with_watchdog(fence, timeout)
 
 
 def run_chunks_pipelined(starts, state, dispatch_one, on_fenced,
@@ -417,11 +387,14 @@ def run_chunks_pipelined(starts, state, dispatch_one, on_fenced,
     on_fenced(start, state', extras): called in chunk order once the chunk's
     outputs are proven complete.
 
-    Failure recovery: when a fence fails (JaxRuntimeError / lost-completion
-    timeout), every younger in-flight chunk is poisoned too — all are
-    dropped, `state` rewinds to the last FENCED value, and the failed chunk
-    is retried from there (pure functions of their inputs, always safe).
-    Returns the final fenced state."""
+    Both the enqueue AND the fence run under the watchdog: a wedged tunnel
+    can hang either (the FIRST enqueue includes the remote compile, so
+    `timeout` must cover it). Failure recovery: when either fails
+    transiently (JaxRuntimeError / watchdog timeout), every in-flight chunk
+    is suspect — all are dropped, `state` rewinds to the last FENCED value,
+    and work resumes from the oldest unproven chunk (pure functions of
+    their inputs, so re-running is always safe). KeyboardInterrupt is never
+    swallowed. Returns the final fenced state."""
     import collections
     import time as _time
 
@@ -430,41 +403,64 @@ def run_chunks_pipelined(starts, state, dispatch_one, on_fenced,
     retries: dict[int, int] = {}
     i = 0
     starts = list(starts)
+
+    def drain_pending():
+        # fence what is already in flight (so on_fenced fires and mid-run
+        # checkpoints land) before surfacing a fatal failure
+        while pending:
+            s0, st, ex = pending.popleft()
+            try:
+                _fence_with_watchdog((st, ex), timeout)
+            except Exception:
+                break
+            on_fenced(s0, st, ex)
+
+    def rewind(s_fail, err) -> bool:
+        nonlocal state, i
+        n = retries.get(s_fail, 0) + 1
+        if n > max_retries:
+            return False
+        retries[s_fail] = n
+        print(f"[fit] transient device failure ({err}), rewinding to "
+              f"iteration-chunk {s_fail} (retry {n}/{max_retries}) ...",
+              flush=True)
+        _time.sleep(5.0 * n)
+        pending.clear()              # in-flight chunks consumed bad inputs
+        state = fenced_state
+        i = starts.index(s_fail)     # re-dispatch from the oldest unproven
+        return True
+
     while i < len(starts) or pending:
         if i < len(starts) and len(pending) < max(1, depth):
+            s_i, st_in = starts[i], state
             try:
-                state, extras = dispatch_one(starts[i], state)
-            except BaseException:
-                # a crash while enqueueing: fence what is already in flight
-                # (so on_fenced fires and mid-run checkpoints land) before
-                # surfacing the failure
-                while pending:
-                    s0, st, ex = pending.popleft()
-                    try:
-                        _fence_with_watchdog((st, ex), timeout)
-                    except Exception:
-                        break
-                    on_fenced(s0, st, ex)
+                state, extras = _call_with_watchdog(
+                    lambda: dispatch_one(s_i, st_in), timeout)
+            except KeyboardInterrupt:
                 raise
-            pending.append((starts[i], state, extras))
+            except (jax.errors.JaxRuntimeError, TimeoutError) as e:
+                # wedged tunnel mid-enqueue, or a deferred async error from
+                # an in-flight chunk surfacing here
+                s_fail = pending[0][0] if pending else s_i
+                if rewind(s_fail, e):
+                    continue
+                drain_pending()
+                raise
+            except BaseException:
+                drain_pending()
+                raise
+            pending.append((s_i, state, extras))
             i += 1
             continue
         s0, state_after, extras = pending.popleft()
         try:
             _fence_with_watchdog((state_after, extras), timeout)
+        except KeyboardInterrupt:
+            raise
         except (jax.errors.JaxRuntimeError, TimeoutError) as e:
-            n = retries.get(s0, 0) + 1
-            if n > max_retries:
-                raise
-            retries[s0] = n
-            print(f"[fit] transient device failure ({e}), rewinding to "
-                  f"iteration-chunk {s0} (retry {n}/{max_retries}) ...",
-                  flush=True)
-            _time.sleep(5.0 * n)
-            pending.clear()              # younger chunks consumed bad inputs
-            state = fenced_state
-            i = starts.index(s0)         # re-dispatch from the failed chunk
-            continue
+            if rewind(s0, e):
+                continue
+            raise
         fenced_state = state_after
         on_fenced(s0, state_after, extras)
     return fenced_state

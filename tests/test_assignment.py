@@ -306,3 +306,22 @@ class TestLapPoints:
             errs.append(((src[k][r] - tgt[k][c]) ** 2).sum(-1))
         ref = np.concatenate(errs).mean()  # reference: mean over all pairs
         np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_rectangular_warm_duals_ignored_stays_exact():
+    """For n < m warm duals would bias the column-subset choice, so the
+    native solver must ignore them (code-review finding)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from reart_tpu.native import lap_solve_points
+
+    rng = np.random.RandomState(11)
+    src = rng.randn(2, 30, 3).astype(np.float32)
+    tgt = rng.randn(2, 70, 3).astype(np.float32)
+    v = (10.0 * rng.randn(2, 70)).astype(np.float32)  # adversarial duals
+    perm = lap_solve_points(src, tgt, v_init=v)
+    for k in range(2):
+        cost = np.sqrt(((src[k][:, None] - tgt[k][None]) ** 2).sum(-1))
+        r, c = linear_sum_assignment(cost)
+        np.testing.assert_allclose(
+            cost[np.arange(30), perm[k]].sum(), cost[r, c].sum(), rtol=1e-5)

@@ -214,38 +214,42 @@ def test_fit_checkpoint_resume(toy, tmp_path):
     assert not os.path.exists(os.path.join(ckpt_dir, "fit_state.pkl"))
 
 
-def test_dispatch_watchdog_recovers_lost_completion():
-    """A dispatch whose fence never completes is re-dispatched; a later
-    attempt that succeeds returns its value."""
-    import itertools
+def test_pipeline_recovers_hung_enqueue():
+    """An enqueue that never returns (wedged tunnel mid-dispatch) trips the
+    watchdog and is retried from the last fenced state; a later attempt
+    that succeeds continues the run."""
     import threading
 
-    from reart_tpu.train.engine import dispatch_with_watchdog
+    from reart_tpu.train.engine import run_chunks_pipelined
 
-    calls = itertools.count()
+    calls = []
 
-    def flaky():
-        if next(calls) == 0:
-            threading.Event().wait()  # lost completion: blocks forever
-        return jnp.asarray(7.0)
+    def dispatch_one(start, st):
+        calls.append(start)
+        if len(calls) == 1:
+            threading.Event().wait()  # wedged: blocks forever
+        return st + 1, None
 
-    out = dispatch_with_watchdog(lambda: flaky(), (), timeout=0.5)
-    assert float(out) == 7.0
-    assert next(calls) == 2  # first call hung, second succeeded
+    final = run_chunks_pipelined(
+        range(3), 0, dispatch_one, lambda *a: None,
+        timeout=0.5, max_retries=2, depth=2)
+    assert final == 3
+    assert calls.count(0) == 2  # hung once, retried once
 
 
-def test_dispatch_watchdog_exhausts_retries():
+def test_pipeline_hung_enqueue_exhausts_retries():
+    import threading
+
     import pytest
 
-    from reart_tpu.train.engine import dispatch_with_watchdog
+    from reart_tpu.train.engine import run_chunks_pipelined
 
-    def always_hangs():
-        import threading
-
+    def always_hangs(start, st):
         threading.Event().wait()
 
     with pytest.raises(TimeoutError):
-        dispatch_with_watchdog(always_hangs, (), timeout=0.2, max_retries=1)
+        run_chunks_pipelined(range(2), 0, always_hangs, lambda *a: None,
+                             timeout=0.2, max_retries=1, depth=2)
 
 
 def test_pipelined_rewind_on_fence_failure():
