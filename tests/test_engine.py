@@ -302,3 +302,28 @@ def test_pipelined_exhausts_retries():
         run_chunks_pipelined(
             range(3), Bad(), lambda s, st: (Bad(), None),
             lambda *a: None, timeout=5.0, max_retries=1, depth=2)
+
+
+def test_pipeline_rewinds_on_enqueue_jax_error():
+    """A deferred async device error surfacing at ENQUEUE time rewinds to
+    the oldest unproven chunk instead of killing the run."""
+    import jax
+
+    from reart_tpu.train.engine import run_chunks_pipelined
+
+    calls, fenced = [], []
+    fail = {"armed": True}
+
+    def dispatch_one(start, st):
+        calls.append(start)
+        if start == 2 and fail.pop("armed", False):
+            raise jax.errors.JaxRuntimeError("deferred async failure")
+        return st + 1, None
+
+    final = run_chunks_pipelined(
+        range(5), 0, dispatch_one, lambda s, st, ex: fenced.append(s),
+        timeout=5.0, max_retries=2, depth=3)
+    assert final == 5
+    assert fenced == list(range(5))
+    # chunks 0 and 1 were in flight when the error surfaced -> re-dispatched
+    assert calls.count(0) == 2 and calls.count(2) == 2
