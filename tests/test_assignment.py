@@ -325,3 +325,20 @@ def test_rectangular_warm_duals_ignored_stays_exact():
         r, c = linear_sum_assignment(cost)
         np.testing.assert_allclose(
             cost[np.arange(30), perm[k]].sum(), cost[r, c].sum(), rtol=1e-5)
+
+
+def test_lap_points_scipy_fallback(monkeypatch):
+    """lap_solve_points must stay exact when the native library is absent."""
+    import reart_tpu.native as native
+    from scipy.optimize import linear_sum_assignment
+
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    rng = np.random.RandomState(12)
+    src = rng.randn(2, 25, 3).astype(np.float32)
+    tgt = rng.randn(2, 40, 3).astype(np.float32)
+    perm = native.lap_solve_points(src, tgt, v_init=np.zeros((2, 40), np.float32))
+    for k in range(2):
+        cost = np.sqrt(((src[k][:, None] - tgt[k][None]) ** 2).sum(-1))
+        r, c = linear_sum_assignment(cost)
+        np.testing.assert_allclose(
+            cost[np.arange(25), perm[k]].sum(), cost[r, c].sum(), rtol=1e-5)
