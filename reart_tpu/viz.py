@@ -22,7 +22,9 @@ import numpy as np
 try:
     import plotly.graph_objects as go
 
-    HAS_PLOTLY = True
+    # functional check, not just importability: test stubs (and broken
+    # installs) can register a non-working plotly in sys.modules
+    HAS_PLOTLY = callable(getattr(go.Figure, "add_trace", None))
 except ImportError:  # this image: no plotly
     HAS_PLOTLY = False
 

@@ -140,3 +140,42 @@ def test_robot_gt_flow_provider(robot_dir, tmp_path):
     ri = float([l for l in txt.splitlines()
                 if l.startswith("seg_ri")][0].split(":")[1])
     assert ri > 0.6, txt
+
+
+@pytest.mark.slow
+def test_robot_corr_flow_provider_e2e(robot_dir, tmp_path):
+    """The reference protocol's flow path end-to-end: a (random-weight)
+    corr checkpoint in the released format -> load_corr_model ->
+    PointNet2Msg2 features -> SMNN matching -> FlowContext -> fit."""
+    import torch
+
+    from ref_oracle import setup_reference_path
+
+    setup_reference_path()
+    import networks.pointnet2_utils as pn2
+
+    pn2.CUDA = False
+    from networks.feature_extractor import PointNet2Msg2
+
+    torch.manual_seed(1)
+    ckpt_path = str(tmp_path / "corr_model.pth.tar")
+    torch.save({"state_dict": PointNet2Msg2(out_dim=64).state_dict()},
+               ckpt_path)
+    cat = os.path.basename(robot_dir.rstrip("/"))
+    norm_path = str(tmp_path / "normalize.pkl")
+    with open(norm_path, "wb") as f:
+        pickle.dump({cat: {"centroid": np.zeros(3, np.float32),
+                           "scale": 1.0}}, f)
+
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "robot", "--seq_path", robot_dir, "--save_root", save_root,
+        "--n_iter", "60", "--assign_iter", "1000", "--use_flow_loss",
+        "--flow_provider", "corr", "--corr_model_path", ckpt_path,
+        "--normalize_file", norm_path, "--num_parts", "4",
+        "--num_points", "360", "--start_tau", "1", "--end_tau", "0.5",
+        "--snapshot_gap", "1000",
+    ])
+    seq_dir = os.path.join(save_root, cat)
+    txt = open(os.path.join(seq_dir, "result.txt")).read()
+    assert "flow_epe" in txt  # flow supervision was wired in
