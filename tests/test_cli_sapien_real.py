@@ -237,3 +237,31 @@ def test_msync_flow_provider_missing_repo(tmp_path):
     cfg.write_text("type: full\n")
     with pytest.raises(ImportError, match="multibody-sync"):
         compute_flow_msync(np.zeros((2, 8, 3), np.float32), str(cfg), "x.pth")
+
+
+@pytest.mark.slow
+def test_sapien_driver_with_flow_file(sapien_dir, tmp_path):
+    """Sapien with flow supervision through the --flow_file provider
+    boundary (GT-derived flows standing in for msync output)."""
+    from reart_tpu.data.sapien import SapienDataset
+
+    s = SapienDataset(sapien_dir, cano_idx=0)[0]
+    complete = s["complete_pc_list"]
+    flow = (complete[1:] - complete[:-1]).astype(np.float32)
+    conf = np.ones(flow.shape[:2], np.float32)
+    flow_path = str(tmp_path / "flows.npz")
+    np.savez(flow_path, flow=flow, conf=conf)
+
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "sapien", "--sapien_base_folder", sapien_dir, "--sapien_idx", "0",
+        "--save_root", save_root, "--n_iter", "150", "--assign_iter", "80",
+        "--use_assign_loss", "--use_flow_loss", "--flow_file", flow_path,
+        "--num_parts", "4", "--start_tau", "1", "--end_tau", "0.5",
+        "--snapshot_gap", "1000",
+    ])
+    txt = open(os.path.join(save_root, "0", "result.txt")).read()
+    assert "full_flow_epe" in txt
+    ri = float([l for l in txt.splitlines()
+                if l.startswith("multi_scan_ri")][0].split(":")[1])
+    assert ri > 0.6, txt
