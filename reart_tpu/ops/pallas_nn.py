@@ -420,6 +420,10 @@ def _blend3_kernel(q_ref, r_ref, f_ref, out_ref, md_ref, fd_ref):
         if j < 2:
             v = jnp.where(sel, jnp.inf, v)
 
+    # weighted anchor-flow sum on the MXU. NOTE: channel-wise VPU masked
+    # sums (the _nn1c_kernel trick) measured NEUTRAL-to-slower here — W is
+    # already f32 (no cast saved) and the weighted sum needs 2 passes per
+    # channel, so the dot stays
     blended = jax.lax.dot_general(
         w_mat, f, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (TN, 3)
