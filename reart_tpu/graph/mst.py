@@ -128,9 +128,9 @@ def merge_graph(seg_part, joint_connection, trans_list, merge_thr: float,
                         print(f"merge edge {edge[1]}-{edge[0]}: cost {c}")
 
     if not nx.is_weakly_connected(m):
-        raise ValueError("New graph are not all connected.")
+        raise ValueError("merge left the part graph disconnected")
     if not nx.is_directed_acyclic_graph(m):
-        raise ValueError("There are cycles in the link graph")
+        raise ValueError("merge produced a cyclic part graph")
 
     new_edges = np.array([[a, b] for a, b in m.edges], dtype=np.int64)
     return seg_part, new_edges

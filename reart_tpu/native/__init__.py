@@ -15,7 +15,7 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["lap.cpp", "ted.cpp"]
+_SOURCES = ["lap.cpp"]
 _LIB_PATH = os.path.join(_HERE, "libreart_native.so")
 _LOCK = threading.Lock()
 _LIB = None

@@ -155,7 +155,11 @@ def auction_lap(
 
     if use_resident is None:
         use_resident = resident_available(n, m)
-    use_resident_hbm = not use_resident and resident_hbm_available(n, m)
+        use_resident_hbm = not use_resident and resident_hbm_available(n, m)
+    else:
+        # explicit False means NO resident kernels at all — the debug/oracle
+        # escape hatch must reach the plain multi-kernel sweep path
+        use_resident_hbm = False
     if use_resident or use_resident_hbm:
         # entire epsilon-scaled solve in ONE kernel launch per call, with
         # per-batch-element early exit on convergence (pallas_auction.py);

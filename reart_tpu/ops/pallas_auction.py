@@ -290,8 +290,8 @@ def resident_available(n: int, m: int) -> bool:
 
 # ---------------------------------------------------------------------------
 # HBM-streaming resident auction: resident control flow at sizes whose
-# benefit matrix does NOT fit in VMEM (2048^2 robot faithful protocol,
-# 4096^2 sapien downsample=1)
+# benefit matrix does NOT fit in VMEM (2048^2 robot faithful protocol;
+# 4096^2 was evaluated and rejected — see RESIDENT_HBM_MAX_ELEMS below)
 # ---------------------------------------------------------------------------
 #
 # Same epsilon-phase/while_loop structure as `_resident_kernel`, but the

@@ -65,6 +65,10 @@ def masked_farthest_point_sample(
 def _use_fps_kernel(xyz, npoint: int) -> bool:
     from reart_tpu.ops.pallas_fps import fps_kernel_available
 
+    # the kernel computes distances in f32; wider inputs fall back to the
+    # loop so the bit-identical-selection contract holds on near-ties
+    if xyz.dtype != jnp.float32:
+        return False
     return fps_kernel_available(xyz.shape[1], npoint, batch=xyz.shape[0])
 
 

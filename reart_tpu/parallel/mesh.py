@@ -34,6 +34,14 @@ def make_mesh(n_devices: int | None = None, seq: int | None = None,
     (pure data parallel) — pass `frame` to split frames over ICI too."""
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and n_devices > len(devices):
+            raise ValueError(
+                f"make_mesh: asked for {n_devices} devices but platform "
+                f"'{devices[0].platform}' exposes only {len(devices)}; for a "
+                "virtual multi-device CPU mesh set XLA_FLAGS="
+                "--xla_force_host_platform_device_count=N AND "
+                'jax.config.update("jax_platforms", "cpu") before the backend '
+                "initializes (see tests/conftest.py)")
         if n_devices is not None:
             devices = devices[:n_devices]
     n = len(devices)
@@ -43,7 +51,11 @@ def make_mesh(n_devices: int | None = None, seq: int | None = None,
         frame = n // seq
     elif seq is None:
         seq = n // frame
-    assert seq * frame == n, f"mesh {seq}x{frame} != {n} devices"
+    if seq * frame != n:
+        raise ValueError(
+            f"make_mesh: seq={seq} x frame={frame} does not tile the {n} "
+            f"available device(s) (platform "
+            f"'{devices[0].platform if n else '?'}')")
     import numpy as np
 
     return Mesh(np.asarray(devices).reshape(seq, frame), ("seq", "frame"))

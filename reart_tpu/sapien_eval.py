@@ -112,31 +112,42 @@ def compute_flow_msync(complete_pc_list, config_path: str, model_path: str,
     # msync/config/articulated-full.yaml -> repo root is msync/'s parent
     cfg_abs = os.path.abspath(config_path)
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(cfg_abs)))
-    if repo_root not in sys.path:
+    inserted = repo_root not in sys.path
+    if inserted:
         sys.path.insert(0, repo_root)
     try:
-        import torch
-        import yaml
-        from msync.models.conf_net import ConfNet, get_network_input
-        from msync.models.flow_net import FlowNet
-    except ImportError as e:
-        raise ImportError(
-            "msync flow provider needs the multibody-sync repo on disk "
-            f"(looked under {repo_root}); clone it as the reference's "
-            "setup_env.sh does, or precompute flows and pass --flow_file. "
-            f"Underlying error: {e}") from e
+        try:
+            import torch
+            import yaml
+            from msync.models.conf_net import ConfNet, get_network_input
+            from msync.models.flow_net import FlowNet
+        except ImportError as e:
+            # leave no half-imported msync behind for a later retry
+            for k in [k for k in sys.modules
+                      if k == "msync" or k.startswith("msync.")]:
+                del sys.modules[k]
+            raise ImportError(
+                "msync flow provider needs the multibody-sync repo on disk "
+                f"(looked under {repo_root}); clone it as the reference's "
+                "setup_env.sh does, or precompute flows and pass --flow_file. "
+                f"Underlying error: {e}") from e
 
-    with open(cfg_abs) as f:
-        cfg = yaml.safe_load(f)
-    assert cfg.get("type") == "full", "msync config must be of type 'full'"
-    flow_net, conf_net = FlowNet(), ConfNet()
-    state = torch.load(model_path, map_location="cpu")["model_state"]
-    own = {"flow_net": flow_net, "conf_net": conf_net}
-    for name, mod in own.items():
-        sub = {k[len(name) + 1:]: v for k, v in state.items()
-               if k.startswith(name + ".")}
-        mod.load_state_dict(sub)
-        mod.eval()
+        with open(cfg_abs) as f:
+            cfg = yaml.safe_load(f)
+        assert cfg.get("type") == "full", "msync config must be of type 'full'"
+        flow_net, conf_net = FlowNet(), ConfNet()
+        state = torch.load(model_path, map_location="cpu")["model_state"]
+        own = {"flow_net": flow_net, "conf_net": conf_net}
+        for name, mod in own.items():
+            sub = {k[len(name) + 1:]: v for k, v in state.items()
+                   if k.startswith(name + ".")}
+            mod.load_state_dict(sub)
+            mod.eval()
+    finally:
+        # the path entry is only needed while importing; leaving it would let
+        # any stray top-level package under repo_root shadow real modules
+        if inserted and repo_root in sys.path:
+            sys.path.remove(repo_root)
 
     pcs = torch.as_tensor(np.asarray(complete_pc_list), dtype=torch.float32)
     flows, confs = [], []

@@ -45,6 +45,21 @@ class TestCheckpoint:
         np.testing.assert_array_equal(np.asarray(restored.prismatic_mask),
                                       np.asarray(state.prismatic_mask))
 
+    def test_orbax_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from reart_tpu.models.base_model import init_base_params
+
+        params = init_base_params(jax.random.PRNGKey(0), 4, 3)
+        payload = {"state_dict": params, "tau": 1.5, "cano_idx": 2}
+        ckpt.save_orbax(str(tmp_path / "orbax"), payload)
+        restored = ckpt.load_orbax(str(tmp_path / "orbax"))
+        assert float(restored["tau"]) == 1.5
+        assert int(restored["cano_idx"]) == 2
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            params, restored["state_dict"],
+        )
+
     def test_result_schema(self, tmp_path):
         path = str(tmp_path / "result.pkl")
         sample = {"cano_pc": np.zeros((5, 3), np.float32)}
