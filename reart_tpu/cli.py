@@ -114,6 +114,11 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     if domain == "sapien":
         p.add_argument("--sapien_base_folder", default="data/mbs-sapien", type=str)
         p.add_argument("--sapien_idx", default=212, type=int)
+        p.add_argument("--batch_seq", default=None, type=str,
+                       help="comma-separated sequence indices: fit their "
+                            "relaxation stages as ONE mesh-sharded batch "
+                            "(sequences ride the device mesh), then finalize "
+                            "each sequentially. base model, train only.")
         p.add_argument("--flow_file", default=None, type=str,
                        help="precomputed flow .npz (msync provider boundary)")
         p.add_argument("--flow_model_config_path", type=str,
@@ -484,6 +489,73 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
 # main
 # ---------------------------------------------------------------------------
 
+def _stack_flow_contexts(ctxs):
+    """Batch per-sequence FlowContexts: pad anchors to a common M (FAR
+    points / zero flow, same padding contract as FlowContext.from_lists)."""
+    if any(c is None for c in ctxs):
+        return None
+    from reart_tpu.train import FlowContext
+    from reart_tpu.train.engine import FAR
+
+    m = max(int(c.pc_ref.shape[1]) for c in ctxs)
+    pcs, fls = [], []
+    for c in ctxs:
+        pad = m - int(c.pc_ref.shape[1])
+        pcs.append(np.pad(np.asarray(c.pc_ref), ((0, 0), (0, pad), (0, 0)),
+                          constant_values=FAR))
+        fls.append(np.pad(np.asarray(c.flow_ref), ((0, 0), (0, pad), (0, 0))))
+    return FlowContext(jnp.asarray(np.stack(pcs)), jnp.asarray(np.stack(fls)))
+
+
+def run_batch_seq(args, dataset):
+    """`--batch_seq i,j,k`: fit the relaxation stage of several sapien
+    sequences as ONE mesh-sharded batch (sequences ride the device mesh's
+    "seq" axis), then run the per-sequence graph/metrics/artifact finalize
+    sequentially on the host. The reference's equivalent is one process per
+    index (SURVEY §2.7)."""
+    import copy
+
+    from reart_tpu import viz
+    from reart_tpu.parallel import fit_base_sequences, make_mesh
+    from reart_tpu.profiling import phase_report, phase_timer
+
+    idxs = [int(s) for s in args.batch_seq.split(",")]
+    samples = [dataset[i] for i in idxs]
+    cano_b = np.stack([np.asarray(s["cano_pc"], np.float32) for s in samples])
+    pc_b = np.stack([np.asarray(s["pc_list"], np.float32) for s in samples])
+
+    flow_b = None
+    if args.use_flow_loss:
+        ctxs = []
+        for i, s in zip(idxs, samples):
+            a = args
+            if args.flow_file and "{" in args.flow_file:
+                a = copy.copy(args)
+                a.flow_file = args.flow_file.format(idx=i)
+            ctxs.append(setup_flow(a, "sapien", dataset, s))
+        flow_b = _stack_flow_contexts(ctxs)
+
+    cfg = fit_config(args, "sapien")
+    mesh = make_mesh()
+    print(f"batch_seq: fitting {len(idxs)} sequences over "
+          f"{mesh.devices.size}-device mesh {dict(mesh.shape)}")
+    with phase_timer("fit"):
+        fits = fit_base_sequences(
+            jax.random.PRNGKey(args.manual_seed), cfg, cano_b, pc_b,
+            args.cano_idx, args.num_parts, mesh, flow_b=flow_b)
+
+    for i, sample, (params, seg, trans) in zip(idxs, samples, fits):
+        save_dir = os.path.join(args.save_root, str(i))
+        os.makedirs(save_dir, exist_ok=True)
+        viz.vis_pc_seq(sample["complete_pc_list"], name="input",
+                       save_path=os.path.join(save_dir, "input.gif"))
+        with phase_timer(f"finalize/{i}"):
+            finalize(args, "sapien", dataset, sample, np.asarray(seg),
+                     np.asarray(trans), params, None, save_dir, args.end_tau)
+    print(f"[phases] {phase_report()}")
+    print("all done!")
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     domain = args.domain
@@ -502,6 +574,12 @@ def main(argv=None):
     from reart_tpu.train import fit_base, fit_kinematic
 
     dataset = load_dataset(args, domain)
+
+    if domain == "sapien" and getattr(args, "batch_seq", None):
+        assert args.model == "base" and not args.evaluate, \
+            "--batch_seq fits base-model relaxations (train only)"
+        return run_batch_seq(args, dataset)
+
     sample = dataset[args.sapien_idx] if domain == "sapien" else dataset[0]
 
     if getattr(args, "auto_cano", False) and args.model == "base" \
@@ -515,10 +593,15 @@ def main(argv=None):
             n_iter=args.auto_cano_iters or max(100, args.n_iter // 10),
             use_flow_loss=False,
         )
+        mesh = None
+        if len(jax.devices()) > 1:  # fan candidates over the device mesh
+            from reart_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
         best, energies = select_canonical_frame(
             jax.random.PRNGKey(args.manual_seed),
             sample["complete_pc_list"], sel_cfg, args.num_parts,
-            include_group=domain == "robot")
+            include_group=domain == "robot", mesh=mesh)
         print(f"auto_cano: selected frame {best} "
               f"(energies {[round(e['total_err'], 3) for e in energies.values()]})")
         args.cano_idx = best

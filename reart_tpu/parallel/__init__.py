@@ -24,4 +24,6 @@ from reart_tpu.parallel.mesh import (
     make_batched_fit_step,
     init_batched_params,
     fit_batch,
+    fit_base_candidates,
+    fit_base_sequences,
 )

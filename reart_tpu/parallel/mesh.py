@@ -154,6 +154,162 @@ def make_batched_fit_step(mesh: Mesh, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0, 1)), shard_args
 
 
+def _fit_base_rows(key, cfg, cano_b, pc_b, cano_idx_b, num_parts: int,
+                   mesh: Mesh, flow_b=None):
+    """Core of the mesh-sharded independent-fit sweep: one base-model fit
+    per row, rows sharded over the mesh "seq" axis.
+
+    cano_b (C, N, 3), pc_b (C, T-1, N, 3), cano_idx_b (C,) int32; flow_b an
+    optional per-row-batched FlowContext ((C, T-1, M, 3) leaves). Runs the
+    same compiled phase programs as train.engine.fit (recon + auction
+    assignment), vmapped over rows. Returns (params_b, seg_b, trans_b).
+    """
+    import dataclasses
+
+    from reart_tpu.models.base_model import base_forward, init_base_params
+    from reart_tpu.train.engine import (
+        _base_forward_fn,
+        build_assign_context,
+        make_fit_fns,
+        make_optimizer,
+    )
+
+    cp, t_minus1 = pc_b.shape[0], pc_b.shape[1]
+    # identical per-row init, exactly like the sequential loop (the same key
+    # initializes every row's params)
+    params1 = init_base_params(key, num_parts, t_minus1)
+    tx = make_optimizer(params1, cfg, two_groups=True)
+    opt1 = tx.init(params1)
+    tile = lambda tree: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (cp,) + jnp.shape(x)), tree)
+    seq = batch_spec(mesh)
+    put = lambda tree: jax.device_put(tree, jax.tree.map(lambda _: seq, tree))
+    st = put((tile(params1), tile(opt1)))
+    cano_b, pc_b, cano_idx_b = (jax.device_put(jnp.asarray(cano_b), seq),
+                                jax.device_put(jnp.asarray(pc_b), seq),
+                                jax.device_put(jnp.asarray(cano_idx_b), seq))
+    flow_ax = None if flow_b is None else 0
+    if flow_b is not None:
+        flow_b = put(flow_b)
+
+    cfg_key = dataclasses.replace(cfg, cano_idx=0)
+    recon_scan, assign_scan = make_fit_fns(_base_forward_fn, cfg_key, True)
+    v_recon = jax.jit(jax.vmap(
+        recon_scan,
+        in_axes=(0, 0, None, None, None, 0, 0, flow_ax, None, 0)))
+    v_assign = jax.jit(jax.vmap(
+        assign_scan,
+        in_axes=(0, 0, 0, None, None, 0, 0, flow_ax, None, 0, 0)))
+
+    chunk = max(1, cfg.dispatch_chunk)
+    use_assign = cfg.use_assign_loss and cfg.assign_iter < cfg.n_iter
+    n_recon = min(cfg.assign_iter, cfg.n_iter) if use_assign else cfg.n_iter
+
+    for start in range(0, n_recon, chunk):
+        its = start + jnp.arange(chunk)
+        st, _ = v_recon(*st, its, n_recon, key, cano_b, pc_b, flow_b, None,
+                        cano_idx_b)
+
+    if use_assign and cfg.n_iter > n_recon:
+        actx = jax.jit(jax.vmap(
+            lambda c, p: build_assign_context(c, p, cfg.downsample)
+        ))(cano_b, pc_b)
+        gap = max(1, cfg.assign_gap)
+        n_outer = -(-(cfg.n_iter - n_recon) // gap)
+        outer_chunk = max(1, chunk // gap)
+        price = jnp.zeros((cp,) + actx.pc_tgt.shape[1:3], jnp.float32)
+        st = (*st, jax.device_put(price, seq))
+        for start in range(0, n_outer, outer_chunk):
+            outer_its = n_recon + (start + jnp.arange(outer_chunk)) * gap
+            st, _ = v_assign(*st, outer_its, key, cano_b, pc_b, flow_b, None,
+                             cano_idx_b, actx)
+        st = st[:2]
+
+    params_b = st[0]
+    _, seg_b, trans_b = jax.jit(jax.vmap(
+        lambda p, c: base_forward(p, c, key, tau=1.0)))(params_b, cano_b)
+    return params_b, seg_b, trans_b
+
+
+def fit_base_sequences(key, cfg, cano_b, pc_b, cano_idx: int, num_parts: int,
+                       mesh: Mesh | None = None, flow_b=None):
+    """Fit a batch of DIFFERENT sequences (same shapes) as one mesh-sharded
+    program — the `--batch_seq` sapien benchmark sweep (SURVEY §2.7: the
+    reference runs one process per sequence index).
+
+    cano_b (B, N, 3), pc_b (B, T-1, N, 3); all rows share cano_idx and cfg.
+    flow_b: optional FlowContext with per-row-batched leaves. Returns a list
+    of (params_i, seg_i, trans_i) host tuples, one per row.
+    """
+    import numpy as np
+
+    if mesh is None:
+        mesh = make_mesh()
+    nseq = mesh.shape["seq"]
+    b = cano_b.shape[0]
+    pad = (-b) % nseq
+    if pad:
+        rep = lambda x: jnp.concatenate(
+            [jnp.asarray(x)] + [jnp.asarray(x)[-1:]] * pad)
+        cano_b, pc_b = rep(cano_b), rep(pc_b)
+        if flow_b is not None:
+            flow_b = jax.tree.map(rep, flow_b)
+    cano_idx_b = jnp.full((cano_b.shape[0],), int(cano_idx), jnp.int32)
+
+    params_b, seg_b, trans_b = _fit_base_rows(
+        key, cfg, cano_b, pc_b, cano_idx_b, num_parts, mesh, flow_b=flow_b)
+    return [
+        (jax.tree.map(lambda x, r=row: np.asarray(x[r]), params_b),
+         np.asarray(seg_b[row]), np.asarray(trans_b[row]))
+        for row in range(b)
+    ]
+
+
+def fit_base_candidates(key, cfg, complete_pc_list, num_parts: int,
+                        candidates, mesh: Mesh | None = None):
+    """Fit one base model per candidate canonical frame, candidates sharded
+    over the mesh "seq" axis — the multi-chip `--auto_cano` sweep.
+
+    Runs the SAME compiled phase programs as the sequential selection loop
+    (train.engine.make_fit_fns: recon phase + auction-assignment phase,
+    cosine tau, two-group Adam), vmapped over the candidate axis, with the
+    same PRNG key per candidate — so each candidate computes the same math
+    the sequential `selection.select_canonical_frame` path would.
+
+    Returns {cano_idx: (params_i, seg_i (N,), trans_i (T-1, P, 4, 4))}.
+    Blueprint SURVEY §2.7: the reference re-runs a full process per
+    candidate frame (README.md:60); here candidates ride the mesh.
+    """
+    import numpy as np
+
+    if mesh is None:
+        mesh = make_mesh()
+    nseq = mesh.shape["seq"]
+    complete = np.asarray(complete_pc_list, np.float32)
+    cand = [int(i) for i in candidates]
+    # pad the candidate batch to a multiple of the mesh's seq axis; padded
+    # rows recompute the last candidate and are dropped on return
+    cand_p = cand + [cand[-1]] * ((-len(cand)) % nseq)
+
+    cano_b = jnp.asarray(np.stack([complete[i] for i in cand_p]))
+    pc_b = jnp.asarray(np.stack(
+        [np.concatenate([complete[:i], complete[i + 1:]]) for i in cand_p]))
+    cano_idx_b = jnp.asarray(cand_p, jnp.int32)
+
+    params_b, seg_b, trans_b = _fit_base_rows(
+        key, cfg, cano_b, pc_b, cano_idx_b, num_parts, mesh)
+
+    out = {}
+    for row, idx in enumerate(cand_p):
+        if idx not in out:
+            out[idx] = (
+                jax.tree.map(lambda x, r=row: np.asarray(x[r]), params_b),
+                np.asarray(seg_b[row]),
+                np.asarray(trans_b[row]),
+            )
+    return out
+
+
 def fit_batch(key, params, cano_pc, pc_list, n_iter: int, mesh: Mesh = None,
               lr: float = 1e-2, tau: float = 1.0, use_assign: bool = False,
               downsample: int = 4):

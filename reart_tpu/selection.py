@@ -58,12 +58,18 @@ def fit_energy(params, cfg, cano_pc, pc_list, cano_idx, seg_part, trans_list,
 
 def select_canonical_frame(key, complete_pc_list, cfg, num_parts: int,
                            candidates=None, include_group: bool = True,
-                           verbose: bool = True):
+                           verbose: bool = True, mesh=None):
     """Fit once per candidate canonical frame, return (best_idx, energies).
 
     complete_pc_list: (T, N, 3). Candidate fits share one compiled program
     (identical shapes). Flow context is omitted during selection (the
     reference's selection criterion is the energy, which has no flow term).
+
+    With `mesh` (>1 device), candidate fits are batched and sharded over the
+    mesh's "seq" axis (parallel.fit_base_candidates) — same compiled phase
+    programs and key, so the sweep computes the same fits as the sequential
+    loop. The per-candidate energy/graph stage stays on the host (part
+    counts vary per candidate).
     """
     from reart_tpu.models.base_model import base_forward, init_base_params
     from reart_tpu.train import fit_base
@@ -72,6 +78,18 @@ def select_canonical_frame(key, complete_pc_list, cfg, num_parts: int,
     t = complete.shape[0]
     if candidates is None:
         candidates = range(t)
+    candidates = [int(i) for i in candidates]
+
+    fits = None
+    if mesh is not None and mesh.devices.size > 1 and len(candidates) > 1:
+        from reart_tpu.parallel import fit_base_candidates
+
+        if verbose:
+            print(f"auto_cano sweep: {len(candidates)} candidates over "
+                  f"{mesh.devices.size}-device mesh {dict(mesh.shape)}")
+        fits = fit_base_candidates(key, cfg, complete, num_parts, candidates,
+                                   mesh)
+
     energies = {}
     for cano_idx in candidates:
         cano_pc = complete[cano_idx]
@@ -80,14 +98,17 @@ def select_canonical_frame(key, complete_pc_list, cfg, num_parts: int,
         )
         import dataclasses
 
-        cfg_i = dataclasses.replace(cfg, cano_idx=int(cano_idx))
-        params = init_base_params(key, num_parts, t - 1)
-        fitted, _ = fit_base(key, params, cfg_i, cano_pc, pc_list)
-        _, seg, trans = base_forward(fitted, cano_pc, key, tau=1.0)
+        cfg_i = dataclasses.replace(cfg, cano_idx=cano_idx)
+        if fits is None:
+            params = init_base_params(key, num_parts, t - 1)
+            fitted, _ = fit_base(key, params, cfg_i, cano_pc, pc_list)
+            _, seg, trans = base_forward(fitted, cano_pc, key, tau=1.0)
+        else:
+            fitted, seg, trans = fits[cano_idx]
         e = fit_energy(fitted, cfg_i, cano_pc, pc_list, cano_idx,
                        np.asarray(seg), np.asarray(trans), complete,
                        include_group=include_group)
-        energies[int(cano_idx)] = e
+        energies[cano_idx] = e
         if verbose:
             print(f"cano {cano_idx}: total_err {e['total_err']:.3f}")
     best = min(energies, key=lambda i: energies[i]["total_err"])

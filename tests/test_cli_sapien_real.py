@@ -122,6 +122,59 @@ def test_real_driver_e2e(tmp_path):
         assert os.path.exists(os.path.join(seq_dir, artifact)), artifact
 
 
+@pytest.fixture(scope="module")
+def sapien_dir2(tmp_path_factory):
+    """TWO 2-part sequences (different hinge rates) for the batch sweep."""
+    root = tmp_path_factory.mktemp("sapien2")
+    (root / "data").mkdir()
+    rng = np.random.RandomState(1)
+    n_per = 100
+    for seq, rate in enumerate((0.3, 0.45)):
+        body = rng.uniform([-0.5, -0.5, -0.2], [0.5, 0.5, 0.2], (n_per, 3))
+        lid = rng.uniform([-0.5, 0.3, 0.2], [0.5, 0.5, 0.4], (n_per, 3))
+        cano = np.concatenate([body, lid]).astype(np.float32)
+        segm1 = np.repeat([1, 2], n_per)
+        pcs, segms = [], []
+        trans = {"cam": [], 1: [], 2: []}
+        for v in range(3):
+            cam = rotz4(0.05 * v)
+            m_lid = rotz4(rate * v)
+            trans["cam"].append(cam)
+            trans[1].append(np.eye(4))
+            trans[2].append(m_lid)
+            homo = np.concatenate([cano, np.ones((len(cano), 1))], 1)
+            world = homo.copy()
+            world[n_per:] = homo[n_per:] @ m_lid.T
+            pcs.append((world @ np.linalg.inv(cam).T)[:, :3].astype(np.float32))
+            segms.append(segm1)
+        np.savez(root / "data" / f"{seq:06d}.npz", pc=np.stack(pcs),
+                 segm=np.stack(segms), trans=np.asarray(trans, dtype=object))
+    with open(root / "meta.json", "w") as f:
+        json.dump({"test": [0, 1]}, f)
+    return str(root)
+
+
+@pytest.mark.slow
+def test_batch_seq_sweep(sapien_dir2, tmp_path):
+    """--batch_seq fits both sequences as one mesh-sharded batch and writes
+    the full artifact set per sequence."""
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "sapien", "--sapien_base_folder", sapien_dir2, "--batch_seq", "0,1",
+        "--save_root", save_root, "--n_iter", "200", "--assign_iter", "100",
+        "--use_assign_loss", "--num_parts", "4", "--start_tau", "1",
+        "--end_tau", "0.5", "--snapshot_gap", "1000",
+    ])
+    for seq in ("0", "1"):
+        seq_dir = os.path.join(save_root, seq)
+        txt = open(os.path.join(seq_dir, "result.txt")).read()
+        assert "multi_scan_ri" in txt, (seq, txt)
+        ri = float([l for l in txt.splitlines()
+                    if l.startswith("multi_scan_ri")][0].split(":")[1])
+        assert ri > 0.7, (seq, txt)
+        assert os.path.exists(os.path.join(seq_dir, "result.pkl"))
+
+
 def test_auto_cano_flag(tmp_path):
     """--auto_cano selects the canonical frame by a short energy sweep."""
     mesh_dir = tmp_path / "scans"

@@ -95,6 +95,67 @@ def test_fit_batch_converges(problem):
     assert np.all(np.isfinite(l0)) and l0.shape == (4,)
 
 
+def _toy_complete(t=4, n=96, seed=0):
+    """Two rigid boxes, the second hinging about z — a (T, N, 3) sequence."""
+    rng = np.random.RandomState(seed)
+    half = n // 2
+    left = rng.uniform([-1.0, -0.25, -0.25], [-0.2, 0.25, 0.25], (half, 3))
+    right = rng.uniform([0.2, -0.25, -0.25], [1.0, 0.25, 0.25], (half, 3))
+    cano = np.concatenate([left, right]).astype(np.float32)
+    frames = [cano]
+    for i in range(1, t):
+        ang = 0.25 * i
+        rot = np.array([[np.cos(ang), -np.sin(ang), 0],
+                        [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        moved = cano.copy()
+        moved[half:] = moved[half:] @ rot.T
+        frames.append(moved)
+    return np.stack(frames)
+
+
+def test_auto_cano_mesh_matches_sequential():
+    """The mesh-sharded candidate sweep must select the SAME canonical frame
+    as the sequential loop, with per-candidate energies matching (identical
+    compiled step math; tolerance covers vmap/SPMD reduction-order ulps
+    amplified over the short fit)."""
+    from reart_tpu.selection import select_canonical_frame
+    from reart_tpu.train import FitConfig
+
+    complete = _toy_complete()
+    cfg = FitConfig(n_iter=40, use_assign_loss=True, assign_iter=20,
+                    assign_gap=5, downsample=2, dispatch_chunk=10,
+                    start_tau=2.0, end_tau=1.0)
+    key = jax.random.PRNGKey(0)
+    best_seq, e_seq = select_canonical_frame(
+        key, complete, cfg, num_parts=3, include_group=True, verbose=False)
+    best_mesh, e_mesh = select_canonical_frame(
+        key, complete, cfg, num_parts=3, include_group=True, verbose=False,
+        mesh=make_mesh(8))
+    assert best_mesh == best_seq
+    for i in e_seq:
+        np.testing.assert_allclose(
+            e_mesh[i]["total_err"], e_seq[i]["total_err"], rtol=2e-2,
+            err_msg=f"candidate {i}")
+
+
+def test_fit_base_candidates_padding():
+    """Candidate count not divisible by the seq axis: padded rows are
+    dropped, every requested candidate comes back exactly once."""
+    from reart_tpu.parallel import fit_base_candidates
+    from reart_tpu.train import FitConfig
+
+    complete = _toy_complete(t=3)
+    cfg = FitConfig(n_iter=10, use_assign_loss=False, dispatch_chunk=5,
+                    start_tau=2.0, end_tau=1.0)
+    out = fit_base_candidates(jax.random.PRNGKey(0), cfg, complete,
+                              num_parts=3, candidates=[0, 1, 2],
+                              mesh=make_mesh(8))
+    assert sorted(out) == [0, 1, 2]
+    for idx, (params, seg, trans) in out.items():
+        assert seg.shape == (96,) and trans.shape == (2, 3, 4, 4)
+        assert np.all(np.isfinite(trans))
+
+
 def test_hostops_region():
     from reart_tpu.hostops import on_host
 
