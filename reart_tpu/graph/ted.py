@@ -147,12 +147,145 @@ def zhang_shasha(tree1, tree2, ins: float = 1.0, dele: float = 1.0,
     return td[n1 - 1][n2 - 1]
 
 
+# ---------------------------------------------------------------------------
+# exact min-over-orderings via a free-sibling-order forest DP
+# ---------------------------------------------------------------------------
+#
+# The reference enumerates EVERY BFS child-permutation of both trees and
+# takes the min APTED over ordering pairs (ted_utils.py:24-54,127-156) —
+# factorial blow-up per node, infeasible at fanout >= 8. The same quantity
+# is computed here in one memoized DP: the Zhang-Shasha forest recursion,
+# but with the "last tree" of each forest chosen FREELY at every step.
+# Fixing a choice sequence is equivalent to fixing sibling orderings, so the
+# DP minimum equals the min over all ordering pairs (verified by property
+# test vs brute-force enumeration, tests/test_ted.py). States are canonical
+# SHAPES (labels are free renames in the reference config), so identical
+# subtrees collapse and bushy-but-regular part trees stay tiny.
+
+def _shape(children, node):
+    """Canonical unordered shape of the subtree at `node`: sorted tuple of
+    child shapes (labels don't matter — renames are free)."""
+    return tuple(sorted(_shape(children, c) for c in children.get(node, [])))
+
+
+def _shape_size(shape) -> int:
+    return 1 + sum(_shape_size(c) for c in shape)
+
+
+def _forest_size(forest) -> int:
+    return sum(_shape_size(t) for t in forest)
+
+
+def _without(forest, t):
+    """Forest minus ONE occurrence of tree shape t (forests are sorted)."""
+    i = forest.index(t)
+    return forest[:i] + forest[i + 1:]
+
+
+def _spliced(forest, t):
+    """Forest with tree t replaced by its children (root deleted)."""
+    return tuple(sorted(_without(forest, t) + t))
+
+
+def _shape_height(shape) -> int:
+    return 1 + max((_shape_height(c) for c in shape), default=0)
+
+
+def _forest_height(forest) -> int:
+    return max((_shape_height(t) for t in forest), default=0)
+
+
+import functools as _functools
+
+
+def _forest_lower(f1, f2) -> float:
+    """Admissible TED lower bound: every edit op changes the node count by
+    exactly 1 and the forest height by at most 1."""
+    return float(max(abs(_forest_size(f1) - _forest_size(f2)),
+                     abs(_forest_height(f1) - _forest_height(f2))))
+
+
+@_functools.lru_cache(maxsize=1 << 20)
+def _free_forest_dist(f1, f2) -> float:
+    """Min ordered forest TED over all sibling orderings of both forests
+    (unit insert/delete, free rename).
+
+    Branching follows the ordered ZS recursion with a free "last tree": ONE
+    designated tree t1 on the left (delete its root / match it with any
+    distinct right tree), plus root-inserts of every distinct right tree —
+    designating t1 is WLOG because sibling orderings are free (property-
+    tested against brute-force ordering enumeration, tests/test_ted.py).
+    Identical shapes on both sides are matched first (cost 0) so the
+    lower-bound early-exit fires on regular bushy trees.
+    """
+    if not f1:
+        return float(_forest_size(f2))
+    if not f2:
+        return float(_forest_size(f1))
+    if f1 == f2:
+        return 0.0
+    lower = _forest_lower(f1, f2)
+    best = float("inf")
+    # match identical sibling subtrees first: exact, and reaches the
+    # lower bound fast on regular trees
+    common = set(f1) & set(f2)
+    t1 = max(common) if common else max(f1)
+    if t1 in common:
+        best = _free_forest_dist(_without(f1, t1), _without(f2, t1))
+        if best <= lower:
+            return best
+    best = min(best, 1.0 + _free_forest_dist(_spliced(f1, t1), f2))
+    if best <= lower:
+        return best
+    rest1 = _without(f1, t1)
+    for t2 in dict.fromkeys(f2):
+        best = min(best, _free_forest_dist(rest1, _without(f2, t2))
+                   + _free_forest_dist(t1, t2))
+        if best <= lower:
+            return best
+    for t2 in dict.fromkeys(f2):
+        best = min(best, 1.0 + _free_forest_dist(f1, _spliced(f2, t2)))
+        if best <= lower:
+            return best
+    return best
+
+
+def ted_exact(pred_children, pred_root, gt_children, gt_root) -> float:
+    """Exact min-over-orderings TED of two rooted unordered trees."""
+    s1 = _shape(pred_children, pred_root)
+    s2 = _shape(gt_children, gt_root)
+    return _free_forest_dist((s1,), (s2,))
+
+
 def compute_ted(pred_edges, pred_root, gt_edges, gt_root,
                 traverse: bool = True, max_traversals: int | None = 500,
                 verbose: bool = False) -> float:
     """Min ordered TED over BFS child-permutation orderings of both trees
-    (ted_utils.py:127-156). With traverse=False, a single canonical
-    (sorted-children) ordering is used per tree."""
+    (ted_utils.py:127-156), computed EXACTLY by the free-order forest DP.
+    With traverse=False, a single canonical (sorted-children) ordering is
+    used per tree (cheap upper bound, as before). max_traversals only
+    bounds the legacy enumeration path (compute_ted_enumerated), kept for
+    cross-checking."""
+    pred_children = _children_map([tuple(e) for e in pred_edges], pred_root)
+    gt_children = _children_map([tuple(e) for e in gt_edges], gt_root)
+    if traverse:
+        d = ted_exact(pred_children, pred_root, gt_children, gt_root)
+        if verbose:
+            print(f"final tree edit distance {d}")
+        return d
+    return compute_ted_enumerated(pred_edges, pred_root, gt_edges, gt_root,
+                                  traverse=False,
+                                  max_traversals=max_traversals,
+                                  verbose=verbose)
+
+
+def compute_ted_enumerated(pred_edges, pred_root, gt_edges, gt_root,
+                           traverse: bool = True,
+                           max_traversals: int | None = 500,
+                           verbose: bool = False) -> float:
+    """The reference's literal protocol: enumerate BFS child-permutation
+    orderings (optionally truncated) and min Zhang-Shasha over pairs. Kept
+    as the oracle for the exact DP's property tests."""
     pred_children = _children_map([tuple(e) for e in pred_edges], pred_root)
     gt_children = _children_map([tuple(e) for e in gt_edges], gt_root)
 

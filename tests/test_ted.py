@@ -1,10 +1,14 @@
 """Golden-value tests for the tree edit distance (reference utils/ted_utils.py
 protocol: min ordered TED over BFS child-permutations, free renames)."""
 
+import random
+import time
+
 import pytest
 
 from reart_tpu.graph.ted import (
     compute_ted,
+    compute_ted_enumerated,
     find_root_node,
     zhang_shasha,
 )
@@ -80,3 +84,66 @@ class TestComputeTed:
         pred = [(0, 1), (0, 2)]
         gt = [(1, 0), (2, 0)]
         assert compute_ted(pred, 0, gt, 0) == 0.0
+
+
+def _rand_tree(n, rng):
+    return [(i, rng.randrange(i)) for i in range(1, n)], 0
+
+
+def _bushy_tree(n, rng):
+    # parent biased toward the root -> high fanout
+    return [(i, rng.choice([0] * 3 + list(range(i)))) for i in range(1, n)], 0
+
+
+def _chains(lens):
+    edges, nid = [], 1
+    for length in lens:
+        prev = 0
+        for _ in range(length):
+            edges.append((nid, prev))
+            prev = nid
+            nid += 1
+    return edges, 0
+
+
+class TestExactDP:
+    """The free-order forest DP must equal brute-force enumeration of ALL
+    BFS child-permutation orderings (the reference's ted_utils.py protocol
+    without its factorial blow-up)."""
+
+    def test_property_random_trees(self):
+        rng = random.Random(42)
+        for _ in range(250):
+            e1, r1 = _rand_tree(rng.randrange(2, 9), rng)
+            e2, r2 = _rand_tree(rng.randrange(2, 9), rng)
+            brute = compute_ted_enumerated(e1, r1, e2, r2,
+                                           max_traversals=None)
+            assert compute_ted(e1, r1, e2, r2) == brute, (e1, e2)
+
+    def test_property_bushy_trees(self):
+        rng = random.Random(7)
+        for _ in range(150):
+            e1, r1 = _bushy_tree(rng.randrange(2, 9), rng)
+            e2, r2 = _bushy_tree(rng.randrange(2, 9), rng)
+            brute = compute_ted_enumerated(e1, r1, e2, r2,
+                                           max_traversals=None)
+            assert compute_ted(e1, r1, e2, r2) == brute, (e1, e2)
+
+    def test_fanout8_star(self):
+        # >= 8-child fanout: enumeration would need 8!^2 ordering pairs
+        e1, r1 = _chains([1] * 8)
+        e2, r2 = _chains([1] * 12)
+        assert compute_ted(e1, r1, e2, r2) == 4.0
+
+    def test_fanout8_distinct_children_fast_and_exact(self):
+        # 8 DISTINCT chain children: each chain grows by one -> TED 8
+        e1, r1 = _chains([1, 2, 3, 4, 5, 6, 7, 8])
+        e2, r2 = _chains([2, 3, 4, 5, 6, 7, 8, 9])
+        t0 = time.time()
+        assert compute_ted(e1, r1, e2, r2) == 8.0
+        assert time.time() - t0 < 5.0
+
+    def test_fanout10_identical_children(self):
+        e1, r1 = _chains([3] * 10)
+        e2, r2 = _chains([4] * 10)
+        assert compute_ted(e1, r1, e2, r2) == 10.0
