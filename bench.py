@@ -43,6 +43,83 @@ def load_workload():
     return cano, pcs, np.concatenate([cano[None], pcs], 0)
 
 
+# v5e roofline constants (per chip): HBM bandwidth and f32 VPU throughput
+# (8 sublanes x 128 lanes x ~0.94 GHz x 2 FLOP/FMA). The MXU matmul peak is
+# irrelevant for these kernels (distance/sweep work is VPU/bandwidth work).
+PEAK_HBM_GBPS = 819.0
+PEAK_VPU_GFLOPS = 1900.0
+
+
+def _fence(x):
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def roofline_kernels(cano, pc_list):
+    """Microbench the two dominant kernels against the v5e roofline.
+
+    nn_topk (chamfer 1-NN at (9, 4096, 4096)): the fused kernel reads only
+    the point clouds, so its 'hbm_gbps' is EFFECTIVE bandwidth — the dense
+    distance-matrix traffic (B*N*M*4 bytes) an unfused XLA formulation
+    would move; pct_peak_flops scores the VPU work (8 FLOP per pair).
+
+    auction sweep (resident solve at (9, 1024, 1024), sweep bound forced by
+    a uniform-random cost): bytes = one benefit-matrix read per sweep.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from reart_tpu.ops.assignment import auction_lap
+    from reart_tpu.ops.pallas_nn import nn_topk
+
+    out = {}
+    q = jnp.asarray(pc_list, jnp.float32)
+    r = jnp.broadcast_to(jnp.asarray(cano, jnp.float32)[None], q.shape)
+    b, n = q.shape[0], q.shape[1]
+
+    nn = jax.jit(lambda q, r: nn_topk(q, r, 1)[0])
+    _fence(nn(q, r))
+    reps = 10
+    t0 = _time.perf_counter()
+    for _ in range(reps):
+        d = nn(q, r)
+    _fence(d)
+    dt = (_time.perf_counter() - t0) / reps
+    flops = b * n * n * 8
+    eff_bytes = b * n * n * 4
+    out["nn_topk"] = {
+        "ms": round(dt * 1e3, 3),
+        "gflops": round(flops / dt / 1e9, 1),
+        "pct_peak_flops": round(flops / dt / 1e9 / PEAK_VPU_GFLOPS * 100, 1),
+        "hbm_gbps_effective": round(eff_bytes / dt / 1e9, 1),
+    }
+
+    m = 1024
+    key = jax.random.PRNGKey(0)
+    cost = jax.random.uniform(key, (b, m, m), jnp.float32)
+    sweeps = 100
+    lap = jax.jit(lambda c: auction_lap(c, eps_min=1e-4, num_scales=1,
+                                        max_sweeps=sweeps))
+    _fence(lap(cost))
+    t0 = _time.perf_counter()
+    for _ in range(3):
+        rr = lap(cost)
+    _fence(rr)
+    dt = (_time.perf_counter() - t0) / 3
+    bytes_moved = sweeps * b * m * m * 4
+    gbps = bytes_moved / dt / 1e9
+    out["auction_sweep"] = {
+        "ms": round(dt * 1e3, 1),
+        "ms_per_sweep": round(dt / sweeps * 1e3, 3),
+        "hbm_gbps": round(gbps, 1),
+        "pct_peak_bw": round(gbps / PEAK_HBM_GBPS * 100, 1),
+    }
+    return out
+
+
 def main():
     import jax
 
@@ -97,11 +174,50 @@ def main():
     log(f"steady-state: {iters_per_sec:.1f} iters/sec "
         f"({dt / n_iter * 1000:.2f} ms/iter); full 15k-iter fit ~ "
         f"{15000 / iters_per_sec:.0f}s; final loss {final_loss:.2f}")
+
+    # per-phase device time: the main fit is 400 recon(+flow) + 400
+    # assign(+flow) iterations; two auxiliary fits isolate the recon and
+    # flow shares, the assign share is the remainder
+    import dataclasses
+
+    def timed_fit(cfg_x, iters):
+        p = init_base_params(jax.random.PRNGKey(9), num_parts=20,
+                             pose_len=t - 1)
+        fit_base(key, p, cfg_x, cano, pc_list,
+                 flow_ctx=flow_ctx if cfg_x.use_flow_loss else None)  # warm
+        t0 = time.perf_counter()
+        _, h = fit_base(key, p, cfg_x, cano, pc_list,
+                        flow_ctx=flow_ctx if cfg_x.use_flow_loss else None)
+        _ = float(h["total_loss"][-1])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    half = n_iter // 2
+    recon_flow_ms = timed_fit(dataclasses.replace(
+        cfg, n_iter=half, use_assign_loss=False), half)
+    recon_ms = timed_fit(dataclasses.replace(
+        cfg, n_iter=half, use_assign_loss=False, use_flow_loss=False), half)
+    assign_flow_ms = (dt * 1e3 - half * recon_flow_ms) / half
+    device_ms = {
+        "recon": round(recon_ms, 3),
+        "flow": round(recon_flow_ms - recon_ms, 3),
+        "recon_flow": round(recon_flow_ms, 3),
+        "assign_flow": round(assign_flow_ms, 3),
+    }
+    log(f"per-phase ms/iter: {device_ms}")
+
+    log("roofline microbenchmarks ...")
+    kernels = roofline_kernels(cano, pc_list)
+    log(f"kernels: {kernels}")
+
     print(json.dumps({
         "metric": "nao_relaxation_opt_throughput",
         "value": round(iters_per_sec, 2),
         "unit": "iters/sec",
         "vs_baseline": round(iters_per_sec / REFERENCE_CPU_ITERS_PER_SEC, 1),
+        "device_ms": device_ms,
+        "kernels": kernels,
+        "hbm_gbps": kernels["auction_sweep"]["hbm_gbps"],
+        "pct_peak_bw": kernels["auction_sweep"]["pct_peak_bw"],
     }))
 
 

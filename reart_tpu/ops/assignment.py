@@ -187,3 +187,90 @@ def assignment_cost(cost: jnp.ndarray, row_to_col: jnp.ndarray) -> jnp.ndarray:
     """Total matched cost per batch element."""
     picked = jnp.take_along_axis(cost, row_to_col[..., None].astype(jnp.int32), axis=-1)
     return jnp.sum(picked[..., 0], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# banded points-level solver (giant problems: 2048^2, 4096^2)
+# ---------------------------------------------------------------------------
+
+def _morton_keys(pts: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray):
+    """30-bit Morton codes of (B, N, 3) points, bbox (B, 1, 3) lo/hi."""
+    q = jnp.clip((pts - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0,
+                 0.0, 1023.0).astype(jnp.uint32)
+
+    def spread(x):  # interleave each 10-bit coord into every 3rd bit
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (spread(q[..., 0]) | (spread(q[..., 1]) << 1)
+            | (spread(q[..., 2]) << 2))
+
+
+def banded_points_available(n: int, m: int, band: int) -> bool:
+    from reart_tpu.ops.pallas_auction import banded_available
+
+    return band > 0 and banded_available(n, m, band)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band", "eps_min", "num_scales", "scale_factor",
+                     "max_sweeps", "return_price"),
+)
+def auction_lap_points(
+    pc_src: jnp.ndarray,
+    pc_tgt: jnp.ndarray,
+    band: int = 512,
+    eps_min: float = 1e-4,
+    num_scales: int = 2,
+    scale_factor: float = 50.0,
+    max_sweeps: int = 100,
+    price: jnp.ndarray | None = None,
+    return_price: bool = False,
+):
+    """Approximate euclidean-cost LAP straight from point clouds.
+
+    pc_src (B, N, 3), pc_tgt (B, M, 3), N == M. Sorts both clouds along a
+    Morton curve (shared per-element bbox), runs the banded resident auction
+    (pallas_auction.auction_solve_banded) on diagonal-centred column windows
+    of width `band`, and maps the matching back to original indices. The
+    dense (B, N, M) cost matrix is never built. `price` warm-starts in
+    ORIGINAL column order. Every row comes back assigned (band-best
+    fallback at the sweep bound; may duplicate columns, like auction_lap's
+    greedy completion).
+    """
+    from reart_tpu.ops.pallas_auction import auction_solve_banded
+
+    b, n, _ = pc_src.shape
+    m = pc_tgt.shape[1]
+    both = jnp.concatenate([pc_src, pc_tgt], axis=1)
+    lo = jnp.min(both, axis=1, keepdims=True)
+    hi = jnp.max(both, axis=1, keepdims=True)
+    rperm = jnp.argsort(_morton_keys(pc_src, lo, hi), axis=1)
+    cperm = jnp.argsort(_morton_keys(pc_tgt, lo, hi), axis=1)
+
+    src_s = jnp.take_along_axis(pc_src, rperm[..., None], axis=1)
+    tgt_s = jnp.take_along_axis(pc_tgt, cperm[..., None], axis=1)
+    if price is None:
+        price_s = jnp.zeros((b, m), jnp.float32)
+    else:
+        price_s = jnp.take_along_axis(price, cperm, axis=1)
+
+    eps_list = tuple(float(eps_min * scale_factor ** k)
+                     for k in range(num_scales - 1, -1, -1))
+    r2c_s, price_s = auction_solve_banded(
+        src_s, jnp.transpose(tgt_s, (0, 2, 1)),
+        price_s, eps_list, max_sweeps, band)
+
+    # back to original indices: sorted row i is original row rperm[i] and
+    # its column r2c_s[i] is original column cperm[r2c_s[i]]
+    col_orig = jnp.take_along_axis(cperm, r2c_s.astype(jnp.int32), axis=1)
+    inv_r = jnp.argsort(rperm, axis=1)
+    row_to_col = jnp.take_along_axis(col_orig, inv_r, axis=1).astype(jnp.int32)
+    if return_price:
+        inv_c = jnp.argsort(cperm, axis=1)
+        return row_to_col, jnp.take_along_axis(price_s, inv_c, axis=1)
+    return row_to_col

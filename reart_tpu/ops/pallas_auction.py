@@ -476,3 +476,232 @@ def resident_hbm_available(n: int, m: int) -> bool:
     if n % 8 != 0 or m % 128 != 0 or m % _hbm_strip_size(n, m) != 0:
         return False
     return use_pallas((1, n, 3), (1, m, 3))
+
+
+# ---------------------------------------------------------------------------
+# banded resident auction: spatial sort + static column windows
+# ---------------------------------------------------------------------------
+#
+# The giant-LAP floor (reference run_robot.py:164-187 cost at downsample<=2:
+# 2048^2 every iteration, 4096^2 for sapien downsample=1) is VPU-compute
+# bound: every sweep touches all N*M lanes. But the assignment cost is a
+# EUCLIDEAN point-cloud distance — after sorting both clouds along a Morton
+# space-filling curve, the optimal match of row i lies (almost always) within
+# a narrow window of column indices around i. This kernel exploits that:
+#
+#   * both clouds arrive Morton-SORTED (host-side jnp argsort, see
+#     ops/assignment.auction_lap_points) and channel-major (B, 3, N);
+#   * each TILE of rows bids only inside a STATIC contiguous window of W
+#     columns centred on the diagonal — per-sweep work drops from N*M to
+#     N*W lanes (4x at 2048^2/W=512, 8x at 4096^2);
+#   * the (N, W) band benefit is built ONCE per element in VMEM scratch from
+#     the points themselves — the dense (N, M) cost matrix is never
+#     materialized anywhere, which also deletes the engine's per-solve
+#     (B, N, M) cdist construction;
+#   * global column prices/winners live in (1, M) VMEM accumulators;
+#     overlapping tile windows merge with the same strictly-greater /
+#     lowest-row tie rule as the dense kernels.
+#
+# The result is an approximate LAP (matching restricted to the band); rows
+# still unassigned at the sweep bound fall back to their best in-band
+# column. The engine's LAP is already approximation-tolerant (PARITY:
+# sweeps 100 vs 1000 changes the optimality gap 10.9% -> 0.09% with NO
+# end-to-end metric change), and the band gap is measured on real mid-fit
+# matrices in scripts/ab_lap.py.
+
+BAND_TILE = 256
+
+
+def band_tile(n: int) -> int:
+    """Row-tile size: >= 8 tiles so the diagonal windows cover all columns."""
+    return max(8, min(BAND_TILE, n // 8))
+
+
+def _band_offsets(n: int, m: int, w: int, tile: int):
+    """Static per-row-tile column-window offsets, diagonal-centred."""
+    return [min(max(t * tile + tile // 2 - w // 2, 0), m - w)
+            for t in range(n // tile)]
+
+
+def _banded_kernel(eps_list, max_sweeps, n, m, w, tile,
+                   src_ref, tgt_ref, p_ref, r2c_ref, po_ref,
+                   band, cbid, cwin):
+    # Per-row state lives as TUPLES of per-tile (tile,) vectors throughout —
+    # Mosaic cannot concatenate >1-tile 1-D vectors ("Input offsets outside
+    # of the first tile"), and tiles only interact through the (m,)-shaped
+    # column accumulators anyway.
+    ntiles = n // tile
+    offs = _band_offsets(n, m, w, tile)
+
+    def rows_of(t):
+        return jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0] + t * tile
+
+    # band benefit from points: -|src_i - tgt_j| per tile window. src is
+    # ROW-major (rows -> sublanes: per-row values broadcast along lanes),
+    # tgt CHANNEL-major (window columns -> lanes) — no vector transposes
+    for t in range(ntiles):
+        o = offs[t]
+        acc = jnp.zeros((tile, w), jnp.float32)
+        for c in range(3):
+            a = src_ref[0, t * tile:(t + 1) * tile, c]  # (tile,) sublane
+            bpt = tgt_ref[0, c, o:o + w]                # (w,) lane
+            d = a[:, None] - bpt[None, :]
+            acc = acc + d * d
+        band[t * tile:(t + 1) * tile, :] = -jnp.sqrt(acc)
+
+    po_ref[0, 0] = p_ref[0, 0]
+
+    def row_phase(price):
+        """Per-tile (best value, second value, best global column)."""
+        out = []
+        for t in range(ntiles):
+            o = offs[t]
+            v = band[t * tile:(t + 1) * tile, :] - price[o:o + w][None, :]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1) + o
+            m1 = jnp.max(v, axis=1)
+            a1 = jnp.min(jnp.where(v == m1[:, None], cols, INT_MAX), axis=1)
+            sel = cols == a1[:, None]
+            m2 = jnp.max(jnp.where(sel, NEG_INF, v), axis=1)
+            out.append((m1, m2, a1))
+        return out
+
+    def sweep(state):
+        r2c, it, eps = state
+        price = po_ref[0, 0]
+        tops = row_phase(price)
+        bids = tuple(
+            jnp.where(r2c[t] < 0, tops[t][0] - tops[t][1] + eps, NEG_INF)
+            for t in range(ntiles))
+
+        # global per-column max bid + lowest winning row, accumulated across
+        # (overlapping) tile windows; ascending tiles + strictly-greater
+        # keeps the lowest row on ties, as in _col_winner_kernel
+        cbid[0, 0] = jnp.full((m,), NEG_INF, jnp.float32)
+        cwin[0, 0] = jnp.full((m,), INT_MAX, jnp.int32)
+        for t in range(ntiles):
+            o = offs[t]
+            bj_t = tops[t][2]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1) + o
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 0) + t * tile
+            hit = bj_t[:, None] == cols
+            contrib = jnp.where(hit, bids[t][:, None], NEG_INF)
+            tmax = jnp.max(contrib, axis=0)
+            is_max = jnp.logical_and(contrib == tmax[None, :],
+                                     tmax[None, :] > NEG_INF)
+            twin = jnp.min(jnp.where(is_max, rows, INT_MAX), axis=0)
+            cur = cbid[0, 0, o:o + w]
+            curw = cwin[0, 0, o:o + w]
+            better = tmax > cur
+            cbid[0, 0, o:o + w] = jnp.where(better, tmax, cur)
+            cwin[0, 0, o:o + w] = jnp.where(better, twin, curw)
+
+        cb, cw = cbid[0, 0], cwin[0, 0]
+        got = cb > NEG_INF
+        po_ref[0, 0] = jnp.where(got, price + cb, price)
+
+        # seat/unseat via window-masked reductions (a row's held/best column
+        # is always inside its own window)
+        new_r2c = []
+        for t in range(ntiles):
+            o = offs[t]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1) + o
+            r2c_t, bj_t = r2c[t], tops[t][2]
+            cw_w = cw[o:o + w][None, :]
+            got_w = got[o:o + w][None, :]
+            held = r2c_t[:, None] == cols
+            sel = bj_t[:, None] == cols
+            wop = jnp.min(jnp.where(held, cw_w, INT_MAX), axis=1)
+            rebid = jnp.max(
+                jnp.where(jnp.logical_and(held, got_w), 1, 0), axis=1)
+            wob = jnp.min(jnp.where(sel, cw_w, INT_MAX), axis=1)
+            gob = jnp.max(jnp.where(sel, got_w.astype(jnp.int32), 0), axis=1)
+            rid = rows_of(t)
+            r2c_t = jnp.where(jnp.logical_and(rebid > 0, wop != rid),
+                              -1, r2c_t)
+            seat = (r2c[t] < 0) & (wob == rid) & (gob > 0)
+            new_r2c.append(jnp.where(seat, bj_t, r2c_t))
+        return tuple(new_r2c), it + 1, eps
+
+    def phase_cond(state):
+        r2c, it, _ = state
+        unass = functools.reduce(jnp.minimum,
+                                 [jnp.min(r) for r in r2c])
+        return jnp.logical_and(unass < 0, it < max_sweeps)
+
+    fresh = tuple(jnp.full((tile,), -1, jnp.int32) for _ in range(ntiles))
+    r2c = fresh
+    for eps in eps_list:
+        r2c, _, _ = jax.lax.while_loop(
+            phase_cond, sweep,
+            (fresh, jnp.asarray(0, jnp.int32), jnp.asarray(eps, jnp.float32)))
+
+    # greedy in-band completion of rows left by the sweep bound
+    tops = row_phase(po_ref[0, 0])
+    for t in range(ntiles):
+        r2c_ref[0, 0, t * tile:(t + 1) * tile] = jnp.where(
+            r2c[t] < 0, tops[t][2], r2c[t])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps_list", "max_sweeps", "w", "tile"))
+def auction_solve_banded(src_rm: jnp.ndarray, tgt_cm: jnp.ndarray,
+                         price: jnp.ndarray, eps_list: tuple,
+                         max_sweeps: int, w: int, tile: int | None = None):
+    """Banded epsilon-scaled auction straight from SORTED points.
+
+    src_rm: ROW-major (B, N, 3); tgt_cm: channel-major (B, 3, M); float32,
+    both already sorted along a space-filling curve; price (B, M) in the
+    sorted column order. Returns (row_to_col (B, N) int32 in sorted column
+    indices — every row assigned, band-best fallback at the sweep bound —
+    and final prices).
+    """
+    b, n, _ = src_rm.shape
+    m = tgt_cm.shape[2]
+    if tile is None:
+        tile = band_tile(n)
+    r2c, po = pl.pallas_call(
+        functools.partial(_banded_kernel, eps_list, max_sweeps, n, m, w, tile),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, m), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, w), jnp.float32),      # band benefit
+            pltpu.VMEM((1, 1, m), jnp.float32),   # per-column max bid
+            pltpu.VMEM((1, 1, m), jnp.int32),     # per-column winning row
+        ],
+        # the band scratch plus ~6 (tile, w) temporaries per unrolled tile
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(src_rm.astype(jnp.float32), tgt_cm.astype(jnp.float32),
+      price.astype(jnp.float32)[:, None, :])
+    return r2c[:, 0], po[:, 0]
+
+
+def banded_available(n: int, m: int, w: int, tile: int | None = None) -> bool:
+    """Banded solve: TPU, square aligned problem, band pays off only where
+    the dense resident solves stop fitting (> 1024^2)."""
+    if tile is None:
+        tile = band_tile(n)
+    if n != m or w >= m or w % 128 != 0:
+        return False
+    if n % tile != 0 or n * m <= RESIDENT_MAX_ELEMS:
+        return False
+    if n * w * 4 > 12 * 1024 * 1024:  # band scratch budget
+        return False
+    return use_pallas((1, n, 3), (1, m, 3))

@@ -102,6 +102,12 @@ class FitConfig:
     # gt-flow nao fit) — the assignment loss only needs a good-enough
     # matching refreshed every assign_gap iterations
     assign_sweeps: int = 100
+    # column-window width of the banded points-level LAP used for GIANT
+    # assignment problems (> 1024^2: robot faithful downsample<=2, sapien
+    # downsample 1). Matched-cost quality on real mid-fit matrices is
+    # equivalent to the dense sweep-bounded path (scripts/ab_lap.py);
+    # 0 disables the banded path entirely
+    assign_band: int = 512
 
 
 class FlowContext(NamedTuple):
@@ -300,6 +306,20 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
             pc_trans_list, _, _ = forward_fn(
                 params, step_key, tau_fn(it0 + 1), cano_pc, fwd_ctx)
             pc_src = jax.lax.stop_gradient(pc_trans_list[:, actx.src_idx])
+            n_src, n_tgt = pc_src.shape[1], actx.pc_tgt.shape[1]
+            from reart_tpu.ops.assignment import (
+                auction_lap_points,
+                banded_points_available,
+            )
+
+            if banded_points_available(n_src, n_tgt, cfg.assign_band):
+                # giant problems: banded points-level solve — the dense
+                # (B, N, M) cost matrix is never materialized
+                return auction_lap_points(
+                    pc_src, actx.pc_tgt, band=cfg.assign_band, eps_min=1e-4,
+                    num_scales=2, scale_factor=50.0,
+                    max_sweeps=cfg.assign_sweeps, price=price,
+                    return_price=True)
             cost = jnp.sqrt(pairwise_sqdist(pc_src, actx.pc_tgt))
             return auction_lap(cost, eps_min=1e-4, num_scales=2,
                                scale_factor=50.0,

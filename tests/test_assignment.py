@@ -251,6 +251,91 @@ class TestResidentHBM:
             assert n * m > RESIDENT_MAX_ELEMS
 
 
+class TestBandedAuction:
+    """Banded points-level solver (interpret mode): quality on geometric
+    mid-fit-like problems must match the engine's dense sweep-bounded path."""
+
+    def _problem(self, b=2, n=256, noise=0.05, seed=0):
+        rng = np.random.RandomState(seed)
+        src = rng.randn(b, n, 3).astype(np.float32)
+        tgt = (src + noise * rng.randn(b, n, 3)).astype(np.float32)
+        return src, tgt
+
+    def test_quality_vs_scipy(self):
+        from scipy.optimize import linear_sum_assignment
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.assignment import auction_lap_points
+
+        src, tgt = self._problem()
+        with pltpu.force_tpu_interpret_mode():
+            r2c = np.asarray(auction_lap_points(
+                jnp.asarray(src), jnp.asarray(tgt), band=128, max_sweeps=200))
+        b, n = r2c.shape
+        assert ((0 <= r2c) & (r2c < n)).all()
+        for i in range(b):
+            cost = np.sqrt(((src[i][:, None] - tgt[i][None]) ** 2).sum(-1))
+            r, c = linear_sum_assignment(cost)
+            opt = cost[r, c].sum()
+            got = cost[np.arange(n), r2c[i]].sum()
+            # band-restricted + sweep-bounded: same tolerance class as the
+            # dense engine path (whose duplicates make cost non-permutation)
+            assert got < 1.4 * opt, (i, got, opt)
+
+    def test_full_band_near_exact(self):
+        """With the window covering all columns the band restriction is
+        gone; converged solves should sit within the epsilon bound."""
+        from scipy.optimize import linear_sum_assignment
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.pallas_auction import auction_solve_banded
+
+        rng = np.random.RandomState(3)
+        b, n = 2, 64
+        src = rng.randn(b, n, 3).astype(np.float32)
+        tgt = (src + 0.03 * rng.randn(b, n, 3)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            r2c, _ = auction_solve_banded(
+                jnp.asarray(src), jnp.transpose(jnp.asarray(tgt), (0, 2, 1)),
+                jnp.zeros((b, n), jnp.float32),
+                eps_list=(5e-3, 1e-4), max_sweeps=2000, w=n, tile=8)
+        r2c = np.asarray(r2c)
+        for i in range(b):
+            cost = np.sqrt(((src[i][:, None] - tgt[i][None]) ** 2).sum(-1))
+            r, c = linear_sum_assignment(cost)
+            opt = cost[r, c].sum()
+            got = cost[np.arange(n), r2c[i]].sum()
+            assert len(np.unique(r2c[i])) == n  # converged: true permutation
+            assert got <= opt + n * 1e-4 * 2 + 1e-4, (i, got, opt)
+
+    def test_morton_sort_roundtrip(self):
+        """row_to_col indices come back in ORIGINAL index space."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.assignment import auction_lap_points
+
+        rng = np.random.RandomState(1)
+        b, n = 1, 128
+        src = rng.randn(b, n, 3).astype(np.float32)
+        perm = rng.permutation(n)
+        tgt = src[:, perm] + 1e-4  # target = permuted copy
+        with pltpu.force_tpu_interpret_mode():
+            r2c = np.asarray(auction_lap_points(
+                jnp.asarray(src), jnp.asarray(tgt), band=128, max_sweeps=500))
+        # each row must find its own (permuted) copy
+        inv = np.argsort(perm)
+        assert (r2c[0] == inv[np.arange(n)]).mean() > 0.95
+
+    def test_gating(self):
+        from reart_tpu.ops.assignment import banded_points_available
+
+        assert not banded_points_available(1024, 1024, 512)  # resident wins
+        assert not banded_points_available(2048, 2048, 0)    # disabled
+        assert not banded_points_available(2048, 1024, 512)  # rectangular
+
+
 class TestLapPoints:
     def test_points_solver_matches_scipy(self, rng=None):
         from scipy.optimize import linear_sum_assignment
