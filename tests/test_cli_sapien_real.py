@@ -122,6 +122,130 @@ def test_real_driver_e2e(tmp_path):
         assert os.path.exists(os.path.join(seq_dir, artifact)), artifact
 
 
+def trans4(t):
+    m = np.eye(4)
+    m[:3, 3] = t
+    return m
+
+
+def pivot_rotz(a, pivot):
+    return trans4(pivot) @ rotz4(a) @ trans4(-np.asarray(pivot))
+
+
+@pytest.fixture(scope="module")
+def sapien_rich_dir(tmp_path_factory):
+    """Metric-grade articulated scene: 4 parts — static body, revolute lid,
+    PRISMATIC drawer, revolute door — under camera motion (rotation +
+    translation per view). Mirrors the reference's sapien protocol surface
+    (run_sapien.py:268-298 metric block, revolute_only=False joint typing).
+    """
+    root = tmp_path_factory.mktemp("sapien_rich")
+    (root / "data").mkdir()
+    rng = np.random.RandomState(0)
+    n_per = 80
+    body = rng.uniform([-0.6, -0.4, -0.3], [0.6, 0.4, 0.3], (n_per, 3))
+    lid = rng.uniform([-0.6, -0.4, 0.3], [0.6, 0.4, 0.45], (n_per, 3))
+    drawer = rng.uniform([-0.5, 0.4, -0.25], [0.5, 0.75, 0.0], (n_per, 3))
+    door = rng.uniform([0.6, -0.4, -0.3], [0.75, 0.4, 0.25], (n_per, 3))
+    cano = np.concatenate([body, lid, drawer, door]).astype(np.float64)
+    segm1 = np.repeat([1, 2, 3, 4], n_per)
+
+    n_views = 4
+    pcs, segms = [], []
+    trans = {"cam": [], 1: [], 2: [], 3: [], 4: []}
+    for v in range(n_views):
+        cam = rotz4(0.07 * v) @ trans4([0.03 * v, 0, 0])
+        m1 = np.eye(4)                                  # body static
+        m2 = pivot_rotz(0.35 * v, [-0.6, 0.0, 0.3])     # lid revolute
+        m3 = trans4([0.0, 0.28 * v, 0.0])               # drawer PRISMATIC
+        m4 = pivot_rotz(-0.3 * v, [0.6, -0.4, 0.0])     # door revolute
+        trans["cam"].append(cam)
+        for pid, m in zip((1, 2, 3, 4), (m1, m2, m3, m4)):
+            trans[pid].append(m)
+        homo = np.concatenate([cano, np.ones((len(cano), 1))], 1)
+        world = homo.copy()
+        for pid, m in zip((1, 2, 3, 4), (m1, m2, m3, m4)):
+            sel = segm1 == pid
+            world[sel] = homo[sel] @ m.T
+        pcs.append((world @ np.linalg.inv(cam).T)[:, :3].astype(np.float32))
+        segms.append(segm1)
+    np.savez(root / "data" / "000000.npz", pc=np.stack(pcs),
+             segm=np.stack(segms), trans=np.asarray(trans, dtype=object))
+    with open(root / "meta.json", "w") as f:
+        json.dump({"test": [0]}, f)
+    # GT consecutive-pair flow at the --flow_file (msync provider) boundary
+    flow = (np.stack(pcs)[1:] - np.stack(pcs)[:-1]).astype(np.float32)
+    np.savez(root / "flow.npz", flow=flow,
+             conf=np.ones(flow.shape[:2], np.float32))
+    return str(root)
+
+
+@pytest.mark.slow
+def test_rich_scene_metric_grade(sapien_rich_dir, tmp_path):
+    """Base stage on the 4-part prismatic scene with flow supervision:
+    metric-level assertions, not just exit-code-0 (reference
+    run_sapien.py:268-298)."""
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "sapien", "--sapien_base_folder", sapien_rich_dir, "--sapien_idx",
+        "0", "--save_root", save_root, "--n_iter", "800", "--assign_iter",
+        "400", "--use_assign_loss", "--use_flow_loss", "--flow_file",
+        os.path.join(sapien_rich_dir, "flow.npz"), "--num_parts", "6",
+        "--start_tau", "1", "--end_tau", "0.5", "--snapshot_gap", "1000",
+    ])
+    txt = open(os.path.join(save_root, "0", "result.txt")).read()
+    vals = {l.split(":")[0]: float(l.split(":")[1])
+            for l in txt.splitlines() if ":" in l}
+    assert vals["per_scan_ri"] > 0.9, txt
+    assert vals["multi_scan_ri"] > 0.85, txt
+    assert vals["full_flow_epe"] < 8.0, txt
+    with open(os.path.join(save_root, "0", "result.pkl"), "rb") as f:
+        result = pickle.load(f)
+    n_parts = int(np.asarray(result["pred_cano_part"]).max()) + 1
+    assert n_parts == 4, n_parts
+
+
+def test_kinematic_joint_types_recovered(sapien_rich_dir, tmp_path):
+    """Projection stage via the result.pkl hand-off boundary: from a good
+    base result the graph build must type the drawer edge PRISMATIC and the
+    lid/door edges revolute, and the fitted kinematic model must reproduce
+    the scene (run_sapien.py:117-126 build_graph revolute_only=False)."""
+    from reart_tpu.data.sapien import SapienDataset
+
+    s = SapienDataset(sapien_rich_dir, cano_idx=0)[0]
+    result = dict(s)
+    result["pred_cano_part"] = np.asarray(s["gt_cano_part"])
+    result["pred_pose_list"] = np.asarray(s["gt_pose_list"], np.float32)[1:]
+    result["cano_idx"] = 0
+    res_path = str(tmp_path / "gt_result.pkl")
+    with open(res_path, "wb") as f:
+        pickle.dump(result, f)
+
+    save_root = str(tmp_path / "exp_kin")
+    cli_main([
+        "sapien", "--sapien_base_folder", sapien_rich_dir, "--sapien_idx",
+        "0", "--save_root", save_root, "--model", "kinematic",
+        "--base_result_path", res_path, "--n_iter", "60",
+        "--start_tau", "1", "--end_tau", "1", "--snapshot_gap", "1000",
+    ])
+    from reart_tpu import checkpoint as ckpt
+
+    payload = ckpt.load_checkpoint(
+        os.path.join(save_root, "0", "model.ckpt.pkl"))
+    state = ckpt.restore_kinematic_state(payload)
+    assert state.num_parts == 4
+    pris = np.asarray(state.prismatic_mask)
+    assert pris.sum() == 1, pris  # exactly the drawer joint
+    # the prismatic edge must be the drawer part (original part id 2)
+    pris_edge = state.edges[int(np.flatnonzero(pris)[0])]
+    assert 2 in pris_edge, (state.edges, pris)
+    txt = open(os.path.join(save_root, "0", "result.txt")).read()
+    vals = {l.split(":")[0]: float(l.split(":")[1])
+            for l in txt.splitlines() if ":" in l}
+    assert vals["multi_scan_ri"] == 1.0, txt
+    assert vals["full_flow_epe"] < 0.2, txt
+
+
 @pytest.fixture(scope="module")
 def sapien_dir2(tmp_path_factory):
     """TWO 2-part sequences (different hinge rates) for the batch sweep."""
