@@ -306,7 +306,8 @@ def resident_available(n: int, m: int) -> bool:
 # Above 2048^2 the strip-resident solve LOSES to the two-kernel sweep path
 # (measured 699 vs 132 ms at 4096^2: per-element sequential sweeps plus
 # strip temporaries at (4096, TS) stop paying for the saved launches), so
-# the window is (RESIDENT_MAX_ELEMS, 2048^2].
+# the window is (RESIDENT_MAX_ELEMS, 2048^2]. For the giant sizes the
+# BANDED solve below beats both dense paths (scripts/ab_lap.py).
 RESIDENT_HBM_MAX_ELEMS = 2048 * 2048
 
 
