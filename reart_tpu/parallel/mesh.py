@@ -111,14 +111,13 @@ def make_batched_fit_step(mesh: Mesh, tx: optax.GradientTransformation,
         if use_assign:
             from reart_tpu.ops.assignment import auction_lap
             from reart_tpu.ops.distance import pairwise_sqdist
+            from reart_tpu.train.engine import _select_matched, _select_rows
 
-            pc_src = pc_trans[:, actx.src_idx]
+            pc_src = _select_rows(actx, pc_trans)
             cost = jnp.sqrt(pairwise_sqdist(
                 jax.lax.stop_gradient(pc_src), actx.pc_tgt))
             perm = auction_lap(cost, num_scales=2, max_sweeps=64)
-            matched = jnp.take_along_axis(
-                actx.pc_tgt, perm[..., None].astype(jnp.int32).repeat(3, -1),
-                axis=1)
+            matched = _select_matched(actx.pc_tgt, perm)
             loss = loss + lambda_assign * jnp.sum((pc_src - matched) ** 2)
         return loss
 

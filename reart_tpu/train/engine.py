@@ -141,17 +141,38 @@ class AssignContext(NamedTuple):
     """Static FPS downsampling for the assignment loss (run_robot.py:166-170).
 
     Both index sets depend only on the (fixed) canonical cloud and target
-    frames, so they are computed once per fit, not per recompute."""
+    frames, so they are computed once per fit, not per recompute.
+    `src_onehot` is the (num_fps, N) selection matrix of src_idx: the
+    per-iteration row selection runs as an MXU matmul — measured 1.66 vs
+    2.77 ms per value+grad step against the row-gather at nao shapes."""
 
-    src_idx: jnp.ndarray  # (num_fps,) into cano_pc / pc_trans_list rows
-    pc_tgt: jnp.ndarray   # (T-1, num_fps, 3) FPS-downsampled target frames
+    src_idx: jnp.ndarray     # (num_fps,) into cano_pc / pc_trans_list rows
+    pc_tgt: jnp.ndarray      # (T-1, num_fps, 3) FPS-downsampled target frames
+    src_onehot: jnp.ndarray  # (num_fps, N) float32 one-hot of src_idx
 
 
 def build_assign_context(cano_pc, pc_list, downsample: int) -> AssignContext:
     num_fps = pc_list.shape[1] // downsample
     src_idx = farthest_point_sample(cano_pc[None], num_fps)[0]
     tgt_idx = farthest_point_sample(pc_list, num_fps)
-    return AssignContext(src_idx=src_idx, pc_tgt=index_points(pc_list, tgt_idx))
+    src_onehot = jax.nn.one_hot(src_idx, cano_pc.shape[0], dtype=jnp.float32)
+    return AssignContext(src_idx=src_idx,
+                         pc_tgt=index_points(pc_list, tgt_idx),
+                         src_onehot=src_onehot)
+
+
+def _select_rows(actx: AssignContext, pc_trans_list):
+    """pc_trans_list (T-1, N, 3) -> (T-1, num_fps, 3) via the one-hot MXU
+    matmul (faster than the row gather at these shapes)."""
+    return jnp.einsum("mn,tnc->tmc", actx.src_onehot, pc_trans_list)
+
+
+def _select_matched(pc_tgt, perm):
+    """Row perm (T-1, num_fps) applied to pc_tgt (T-1, num_fps, 3) as a
+    batched one-hot matmul (vs take_along_axis)."""
+    m = pc_tgt.shape[1]
+    oh = (perm[..., None] == jnp.arange(m)[None, None, :]).astype(pc_tgt.dtype)
+    return jnp.einsum("tsm,tmc->tsc", oh, pc_tgt)
 
 
 def make_optimizer(params, cfg: FitConfig, two_groups: bool):
@@ -236,10 +257,8 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
         if perm is None or cfg.always_recon:
             terms["recon_loss"] = _recon_loss(pc_trans_list, pc_list)
         if perm is not None:
-            pc_src = pc_trans_list[:, actx.src_idx]  # (T-1, M, 3)
-            matched = jnp.take_along_axis(
-                actx.pc_tgt, perm[..., None].astype(jnp.int32).repeat(3, -1), axis=1
-            )
+            pc_src = _select_rows(actx, pc_trans_list)  # (T-1, M, 3)
+            matched = _select_matched(actx.pc_tgt, perm)
             terms["ass_loss"] = cfg.lambda_assign * jnp.sum((pc_src - matched) ** 2)
         if flow_ctx is not None and cfg.use_flow_loss:
             terms["flow_loss"] = _flow_term(pc_trans_list, cano_pc, flow_ctx,
@@ -305,7 +324,7 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
             step_key = jax.random.fold_in(key, it0)
             pc_trans_list, _, _ = forward_fn(
                 params, step_key, tau_fn(it0 + 1), cano_pc, fwd_ctx)
-            pc_src = jax.lax.stop_gradient(pc_trans_list[:, actx.src_idx])
+            pc_src = jax.lax.stop_gradient(_select_rows(actx, pc_trans_list))
             n_src, n_tgt = pc_src.shape[1], actx.pc_tgt.shape[1]
             from reart_tpu.ops.assignment import (
                 auction_lap_points,
