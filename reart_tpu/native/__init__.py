@@ -71,12 +71,6 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ]
-        if hasattr(lib, "ted_distance"):
-            lib.ted_distance.restype = ctypes.c_int
-            lib.ted_distance.argtypes = [
-                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
-            ]
         _LIB = lib
         return _LIB
 
@@ -147,19 +141,3 @@ def lap_solve_points(src: np.ndarray, tgt: np.ndarray,
             return out
     diff = src[:, :, None, :] - tgt[:, None, :, :]
     return lap_solve_batch(np.sqrt((diff ** 2).sum(-1)))
-
-
-def ted_distance(pre_l: np.ndarray, pre_r: np.ndarray) -> int:
-    """Ordered tree edit distance between two trees in left-most-leaf/postorder
-    encoding (see native/ted.cpp). Python fallback lives in graph/ted.py."""
-    lib = get_lib()
-    if lib is None or not hasattr(lib, "ted_distance"):
-        raise RuntimeError("native ted unavailable")
-    a = np.ascontiguousarray(pre_l, dtype=np.int32)
-    b = np.ascontiguousarray(pre_r, dtype=np.int32)
-    return int(
-        lib.ted_distance(
-            len(a), a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(b), b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        )
-    )

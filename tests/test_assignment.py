@@ -310,6 +310,28 @@ class TestBandedAuction:
             assert len(np.unique(r2c[i])) == n  # converged: true permutation
             assert got <= opt + n * 1e-4 * 2 + 1e-4, (i, got, opt)
 
+    def test_group_invariance(self):
+        """group=1 and group=B must produce identical matchings/prices
+        (padding rows are dropped; per-element math is independent)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.pallas_auction import auction_solve_banded
+
+        rng = np.random.RandomState(5)
+        b, n = 3, 128
+        src = rng.randn(b, n, 3).astype(np.float32)
+        tgt = (src + 0.05 * rng.randn(b, n, 3)).astype(np.float32)
+        args = (jnp.asarray(src), jnp.transpose(jnp.asarray(tgt), (0, 2, 1)),
+                jnp.zeros((b, n), jnp.float32))
+        kw = dict(eps_list=(5e-3, 1e-4), max_sweeps=150, w=128, tile=16)
+        with pltpu.force_tpu_interpret_mode():
+            r1, p1 = auction_solve_banded(*args, group=1, **kw)
+            r2, p2 = auction_solve_banded(*args, group=2, **kw)  # pads to 4
+            r3, p3 = auction_solve_banded(*args, group=3, **kw)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r3))
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p3), rtol=1e-6)
+
     def test_morton_sort_roundtrip(self):
         """row_to_col indices come back in ORIGINAL index space."""
         from jax.experimental.pallas import tpu as pltpu
