@@ -6,13 +6,17 @@
 // model-selection energy. Exact solver; the TPU auction solver in
 // reart_tpu/ops/assignment.py is the fast epsilon-optimal path.
 //
-// Build: g++ -O3 -march=native -shared -fPIC lap.cpp -o libreart_native.so
+// Build: g++ -O3 -march=native -shared -fPIC -pthread lap.cpp -o libreart_native.so
 
 #include <cstdint>
 #include <limits>
 #include <vector>
 
+#include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <cstdlib>
+#include <thread>
 
 namespace {
 
@@ -115,6 +119,46 @@ struct PointRows {
     }
 };
 
+// Batch elements are independent LAPs: fan them across a thread pool
+// (the native counterpart of the reference's multiprocessing.Pool in
+// utils/model_utils.py:85-103). Sized by hardware_concurrency — override
+// with REART_NATIVE_THREADS — so a 1-core host degenerates to the plain
+// sequential loop.
+int batch_threads() {
+    if (const char* env = std::getenv("REART_NATIVE_THREADS")) {
+        const int v = std::atoi(env);
+        if (v > 0) return v;
+    }
+    const unsigned hw = std::thread::hardware_concurrency();
+    return hw ? static_cast<int>(hw) : 1;
+}
+
+template <class SolveK>
+int run_batch(int b, SolveK solve_k) {
+    const int nthreads = std::min(b, batch_threads());
+    if (nthreads <= 1) {
+        for (int k = 0; k < b; ++k) {
+            const int rc = solve_k(k);
+            if (rc != 0) return rc;
+        }
+        return 0;
+    }
+    std::vector<int> rcs(b, 0);
+    std::atomic<int> next{0};
+    std::vector<std::thread> pool;
+    pool.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) {
+        pool.emplace_back([&] {
+            for (int k = next++; k < b; k = next++) rcs[k] = solve_k(k);
+        });
+    }
+    for (std::thread& th : pool) th.join();
+    for (int k = 0; k < b; ++k) {
+        if (rcs[k] != 0) return rcs[k];
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -128,14 +172,12 @@ int lap_solve(int n, int m, const float* cost, int32_t* row_to_col) {
 // Batched entry: cost (b, n, m) row-major, out (b, n).
 int lap_solve_batch(int b, int n, int m, const float* cost, int32_t* out) {
     if (n > m) return -2;
-    for (int k = 0; k < b; ++k) {
+    return run_batch(b, [=](int k) {
         const float* ck = cost + static_cast<size_t>(k) * n * m;
-        auto row_of = [&](int i) { return ck + static_cast<size_t>(i) * m; };
-        const int rc = solve_one(n, m, row_of, nullptr,
-                                 out + static_cast<size_t>(k) * n);
-        if (rc != 0) return rc;
-    }
-    return 0;
+        auto row_of = [=](int i) { return ck + static_cast<size_t>(i) * m; };
+        return solve_one(n, m, row_of, nullptr,
+                         out + static_cast<size_t>(k) * n);
+    });
 }
 
 // Batched euclidean-cost entry: src (b, n, 3), tgt (b, m, 3), optional
@@ -143,17 +185,15 @@ int lap_solve_batch(int b, int n, int m, const float* cost, int32_t* out) {
 int lap_points_batch(int b, int n, int m, const float* src, const float* tgt,
                      const float* v_init, int32_t* out) {
     if (n > m) return -2;
-    for (int k = 0; k < b; ++k) {
+    return run_batch(b, [=](int k) {
         PointRows rows(src + static_cast<size_t>(k) * n * 3,
                        tgt + static_cast<size_t>(k) * m * 3, n, m);
         // warm duals are only exactness-preserving when n == m (see above)
         const float* vk = (v_init && n == m)
             ? v_init + static_cast<size_t>(k) * m : nullptr;
-        const int rc = solve_one(n, m, rows, vk,
-                                 out + static_cast<size_t>(k) * n);
-        if (rc != 0) return rc;
-    }
-    return 0;
+        return solve_one(n, m, rows, vk,
+                         out + static_cast<size_t>(k) * n);
+    });
 }
 
 }  // extern "C"

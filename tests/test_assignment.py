@@ -39,6 +39,22 @@ class TestNativeLAP:
         out = native.lap_solve_batch(c[None])[0]
         np.testing.assert_array_equal(out, perm)
 
+    def test_thread_pool_matches_sequential(self, rng, monkeypatch):
+        """REART_NATIVE_THREADS fans batch elements across a pool; results
+        must be identical to the 1-thread loop (elements are independent)."""
+        if native.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        c = rng.rand(9, 48, 48).astype(np.float32)
+        src = rng.rand(7, 40, 3).astype(np.float32)
+        tgt = rng.rand(7, 40, 3).astype(np.float32)
+        monkeypatch.setenv("REART_NATIVE_THREADS", "1")
+        seq = native.lap_solve_batch(c)
+        seq_pts = native.lap_solve_points(src, tgt)
+        monkeypatch.setenv("REART_NATIVE_THREADS", "4")
+        np.testing.assert_array_equal(native.lap_solve_batch(c), seq)
+        np.testing.assert_array_equal(native.lap_solve_points(src, tgt),
+                                      seq_pts)
+
 
 class TestAuction:
     def test_quality_random(self, rng):
