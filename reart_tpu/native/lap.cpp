@@ -122,23 +122,51 @@ struct PointRows {
 // Batch elements are independent LAPs: fan them across a thread pool
 // (the native counterpart of the reference's multiprocessing.Pool in
 // utils/model_utils.py:85-103). Sized by hardware_concurrency — override
-// with REART_NATIVE_THREADS — so a 1-core host degenerates to the plain
-// sequential loop.
+// with REART_NATIVE_THREADS (any value <= 0 means sequential) — so a
+// 1-core host degenerates to the plain sequential loop.
 int batch_threads() {
     if (const char* env = std::getenv("REART_NATIVE_THREADS")) {
-        const int v = std::atoi(env);
-        if (v > 0) return v;
+        return std::max(1, std::atoi(env));
     }
     const unsigned hw = std::thread::hardware_concurrency();
     return hw ? static_cast<int>(hw) : 1;
 }
 
+// Concurrent lap_points_batch solves each hold up to an (n, m) lazy row
+// cache, so the pool multiplies peak host memory: bound it by a cache
+// budget (default 1 GB, override REART_NATIVE_MEM_MB).
+int points_threads(int n, int m) {
+    long long budget_mb = 1024;
+    if (const char* env = std::getenv("REART_NATIVE_MEM_MB")) {
+        const long long v = std::atoll(env);
+        if (v > 0) budget_mb = v;
+    }
+    const long long per_solve = static_cast<long long>(n) * m * 4;
+    const long long cap =
+        std::max(1LL, (budget_mb << 20) / std::max(per_solve, 1LL));
+    return static_cast<int>(
+        std::min<long long>(batch_threads(), cap));
+}
+
+// Exceptions (bad_alloc from the row caches / SSP vectors) must not escape
+// a pool thread (std::terminate) or the extern "C" boundary (UB under
+// ctypes): contained here as rc = -3, which the Python wrapper turns into
+// the scipy fallback.
 template <class SolveK>
-int run_batch(int b, SolveK solve_k) {
-    const int nthreads = std::min(b, batch_threads());
+int solve_guarded(SolveK& solve_k, int k) {
+    try {
+        return solve_k(k);
+    } catch (...) {
+        return -3;
+    }
+}
+
+template <class SolveK>
+int run_batch(int b, int max_threads, SolveK solve_k) {
+    const int nthreads = std::min(b, max_threads);
     if (nthreads <= 1) {
         for (int k = 0; k < b; ++k) {
-            const int rc = solve_k(k);
+            const int rc = solve_guarded(solve_k, k);
             if (rc != 0) return rc;
         }
         return 0;
@@ -149,7 +177,9 @@ int run_batch(int b, SolveK solve_k) {
     pool.reserve(nthreads);
     for (int t = 0; t < nthreads; ++t) {
         pool.emplace_back([&] {
-            for (int k = next++; k < b; k = next++) rcs[k] = solve_k(k);
+            for (int k = next++; k < b; k = next++) {
+                rcs[k] = solve_guarded(solve_k, k);
+            }
         });
     }
     for (std::thread& th : pool) th.join();
@@ -172,7 +202,7 @@ int lap_solve(int n, int m, const float* cost, int32_t* row_to_col) {
 // Batched entry: cost (b, n, m) row-major, out (b, n).
 int lap_solve_batch(int b, int n, int m, const float* cost, int32_t* out) {
     if (n > m) return -2;
-    return run_batch(b, [=](int k) {
+    return run_batch(b, batch_threads(), [=](int k) {
         const float* ck = cost + static_cast<size_t>(k) * n * m;
         auto row_of = [=](int i) { return ck + static_cast<size_t>(i) * m; };
         return solve_one(n, m, row_of, nullptr,
@@ -185,7 +215,7 @@ int lap_solve_batch(int b, int n, int m, const float* cost, int32_t* out) {
 int lap_points_batch(int b, int n, int m, const float* src, const float* tgt,
                      const float* v_init, int32_t* out) {
     if (n > m) return -2;
-    return run_batch(b, [=](int k) {
+    return run_batch(b, points_threads(n, m), [=](int k) {
         PointRows rows(src + static_cast<size_t>(k) * n * 3,
                        tgt + static_cast<size_t>(k) * m * 3, n, m);
         // warm duals are only exactness-preserving when n == m (see above)

@@ -141,36 +141,41 @@ class AssignContext(NamedTuple):
     """Static FPS downsampling for the assignment loss (run_robot.py:166-170).
 
     Both index sets depend only on the (fixed) canonical cloud and target
-    frames, so they are computed once per fit, not per recompute.
-    `src_onehot` is the (num_fps, N) selection matrix of src_idx: the
-    per-iteration row selection runs as an MXU matmul — measured 1.66 vs
-    2.77 ms per value+grad step against the row-gather at nao shapes."""
+    frames, so they are computed once per fit, not per recompute."""
 
-    src_idx: jnp.ndarray     # (num_fps,) into cano_pc / pc_trans_list rows
-    pc_tgt: jnp.ndarray      # (T-1, num_fps, 3) FPS-downsampled target frames
-    src_onehot: jnp.ndarray  # (num_fps, N) float32 one-hot of src_idx
+    src_idx: jnp.ndarray  # (num_fps,) into cano_pc / pc_trans_list rows
+    pc_tgt: jnp.ndarray   # (T-1, num_fps, 3) FPS-downsampled target frames
 
 
 def build_assign_context(cano_pc, pc_list, downsample: int) -> AssignContext:
     num_fps = pc_list.shape[1] // downsample
     src_idx = farthest_point_sample(cano_pc[None], num_fps)[0]
     tgt_idx = farthest_point_sample(pc_list, num_fps)
-    src_onehot = jax.nn.one_hot(src_idx, cano_pc.shape[0], dtype=jnp.float32)
     return AssignContext(src_idx=src_idx,
-                         pc_tgt=index_points(pc_list, tgt_idx),
-                         src_onehot=src_onehot)
+                         pc_tgt=index_points(pc_list, tgt_idx))
+
+
+# Row selections run as one-hot MXU matmuls below this size — measured 1.66
+# vs 2.77 ms per value+grad step against the row gather at nao shapes. The
+# one-hot is an O(M^2) temporary (the MXU operand), so past 2048 rows its
+# materialization (604 MB at sapien downsample 1) outweighs the gather cost.
+ONEHOT_SELECT_MAX_ROWS = 2048
 
 
 def _select_rows(actx: AssignContext, pc_trans_list):
-    """pc_trans_list (T-1, N, 3) -> (T-1, num_fps, 3) via the one-hot MXU
-    matmul (faster than the row gather at these shapes)."""
-    return jnp.einsum("mn,tnc->tmc", actx.src_onehot, pc_trans_list)
+    """pc_trans_list (T-1, N, 3) -> (T-1, num_fps, 3)."""
+    if actx.src_idx.shape[0] > ONEHOT_SELECT_MAX_ROWS:
+        return pc_trans_list[:, actx.src_idx]
+    onehot = jax.nn.one_hot(actx.src_idx, pc_trans_list.shape[1],
+                            dtype=pc_trans_list.dtype)
+    return jnp.einsum("mn,tnc->tmc", onehot, pc_trans_list)
 
 
 def _select_matched(pc_tgt, perm):
-    """Row perm (T-1, num_fps) applied to pc_tgt (T-1, num_fps, 3) as a
-    batched one-hot matmul (vs take_along_axis)."""
+    """Row perm (T-1, num_fps) applied to pc_tgt (T-1, num_fps, 3)."""
     m = pc_tgt.shape[1]
+    if m > ONEHOT_SELECT_MAX_ROWS:
+        return jnp.take_along_axis(pc_tgt, perm[..., None], axis=1)
     oh = (perm[..., None] == jnp.arange(m)[None, None, :]).astype(pc_tgt.dtype)
     return jnp.einsum("tsm,tmc->tsc", oh, pc_tgt)
 

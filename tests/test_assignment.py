@@ -346,6 +346,8 @@ class TestBandedAuction:
             r3, p3 = auction_solve_banded(*args, group=3, **kw)
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r3))
+        # group=2 pads B=3 to 4: prices must come back pad-free and equal
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p3), rtol=1e-6)
 
     def test_morton_sort_roundtrip(self):

@@ -327,3 +327,28 @@ def test_pipeline_rewinds_on_enqueue_jax_error():
     assert fenced == list(range(5))
     # chunks 0 and 1 were in flight when the error surfaced -> re-dispatched
     assert calls.count(0) == 2 and calls.count(2) == 2
+
+
+def test_selection_gather_matches_onehot(monkeypatch):
+    """_select_rows/_select_matched switch to plain gathers above
+    ONEHOT_SELECT_MAX_ROWS; both formulations must agree exactly."""
+    from reart_tpu.train import engine
+
+    rng = np.random.RandomState(3)
+    t, n, m = 4, 96, 48
+    pc_trans = jnp.asarray(rng.randn(t, n, 3).astype(np.float32))
+    pc_tgt = jnp.asarray(rng.randn(t, m, 3).astype(np.float32))
+    src_idx = jnp.asarray(rng.choice(n, size=m, replace=False))
+    perm = jnp.asarray(np.stack([rng.permutation(m) for _ in range(t)]))
+    actx = engine.AssignContext(src_idx=src_idx, pc_tgt=pc_tgt)
+
+    monkeypatch.setattr(engine, "ONEHOT_SELECT_MAX_ROWS", 10**9)
+    rows_oh = engine._select_rows(actx, pc_trans)
+    matched_oh = engine._select_matched(pc_tgt, perm)
+    monkeypatch.setattr(engine, "ONEHOT_SELECT_MAX_ROWS", 0)
+    rows_g = engine._select_rows(actx, pc_trans)
+    matched_g = engine._select_matched(pc_tgt, perm)
+
+    np.testing.assert_array_equal(np.asarray(rows_oh), np.asarray(rows_g))
+    np.testing.assert_array_equal(np.asarray(matched_oh),
+                                  np.asarray(matched_g))
