@@ -117,6 +117,37 @@ def roofline_kernels(cano, pc_list):
         "hbm_gbps": round(gbps, 1),
         "pct_peak_bw": round(gbps / PEAK_HBM_GBPS * 100, 1),
     }
+
+    # banded grouped solve (the giant-LAP path, ops/pallas_auction.py):
+    # straight from Morton-sorted points at faithful-protocol scale
+    # (9, 2048, 2048), band 512. The band lives in VMEM, so 'gflops_vpu'
+    # scores the VPU sweep work (~9 ops per in-band pair per sweep:
+    # benefit subtract + max/min-index reductions + bid/seat masks).
+    from reart_tpu.ops.assignment import auction_lap_points
+
+    n2 = 2048
+    kq = jax.random.PRNGKey(1)
+    src = jax.random.normal(kq, (b, n2, 3), jnp.float32)
+    tgt = src + 0.05 * jax.random.normal(jax.random.PRNGKey(2),
+                                         (b, n2, 3), jnp.float32)
+    band = 512
+    bsweeps = 100
+    blap = jax.jit(lambda s, t_: auction_lap_points(
+        s, t_, band=band, eps_min=1e-4, num_scales=2, max_sweeps=bsweeps))
+    _fence(blap(src, tgt))
+    t0 = _time.perf_counter()
+    for _ in range(3):
+        rb = blap(src, tgt)
+    _fence(rb)
+    dt = (_time.perf_counter() - t0) / 3
+    vpu_ops = 2 * bsweeps * b * n2 * band * 9  # 2 eps scales
+    out["banded_lap"] = {
+        "ms": round(dt * 1e3, 1),
+        "ms_per_solve": round(dt / b * 1e3, 1),
+        "gflops_vpu": round(vpu_ops / dt / 1e9, 1),
+        "pct_peak_flops": round(
+            vpu_ops / dt / 1e9 / PEAK_VPU_GFLOPS * 100, 1),
+    }
     return out
 
 
