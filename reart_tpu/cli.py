@@ -76,9 +76,10 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     p.add_argument("--assign_sweeps", default=100, type=int,
                    help="auction sweep bound per epsilon phase (see "
                         "FitConfig.assign_sweeps)")
-    p.add_argument("--assign_band", default=512, type=int,
+    p.add_argument("--assign_band", default=-1, type=int,
                    help="column-window width of the banded LAP for giant "
-                        "(>1024^2) assignment problems; 0 = dense path")
+                        "(>1024^2) assignment problems; -1 = auto (n//4 "
+                        "clamped to [512, 1024]), 0 = dense path")
     p.add_argument("--lambda_assign", default=3e-1, type=float)
     p.add_argument("--lambda_flow", default=1.0, type=float)
     p.add_argument("--lambda_joint", default=100.0 if robot else 1e-1, type=float)

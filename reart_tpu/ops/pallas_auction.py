@@ -725,6 +725,8 @@ def banded_available(n: int, m: int, w: int, tile: int | None = None) -> bool:
         return False
     if n % tile != 0 or n * m <= RESIDENT_MAX_ELEMS:
         return False
-    if n * w * 4 > 12 * 1024 * 1024:  # band scratch budget
+    # per-element band scratch budget: admits (4096, 1024) = 16 MB, the
+    # largest measured-profitable window (group then degenerates to 1)
+    if n * w * 4 > 16 * 1024 * 1024:
         return False
     return use_pallas((1, n, 3), (1, m, 3))

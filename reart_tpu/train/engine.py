@@ -106,8 +106,11 @@ class FitConfig:
     # assignment problems (> 1024^2: robot faithful downsample<=2, sapien
     # downsample 1). Matched-cost quality on real mid-fit matrices is
     # equivalent to the dense sweep-bounded path (scripts/ab_lap.py);
-    # 0 disables the banded path entirely
-    assign_band: int = 512
+    # 0 disables the banded path entirely; -1 auto-scales the window with
+    # the problem (n//4 clamped to [512, 1024] — at 4096^2 the 1024-wide
+    # band costs the same wall-clock as 512, measured on real end-of-fit
+    # sapien clouds, and cuts matched cost/duplicates ~10/18%)
+    assign_band: int = -1
 
 
 class FlowContext(NamedTuple):
@@ -334,13 +337,15 @@ def make_fit_fns(forward_fn: ForwardFn, cfg: FitConfig, two_group_opt: bool,
             from reart_tpu.ops.assignment import (
                 auction_lap_points,
                 banded_points_available,
+                resolve_band,
             )
 
-            if banded_points_available(n_src, n_tgt, cfg.assign_band):
+            band = resolve_band(cfg.assign_band, n_src)
+            if banded_points_available(n_src, n_tgt, band):
                 # giant problems: banded points-level solve — the dense
                 # (B, N, M) cost matrix is never materialized
                 return auction_lap_points(
-                    pc_src, actx.pc_tgt, band=cfg.assign_band, eps_min=1e-4,
+                    pc_src, actx.pc_tgt, band=band, eps_min=1e-4,
                     num_scales=2, scale_factor=50.0,
                     max_sweeps=cfg.assign_sweeps, price=price,
                     return_price=True)

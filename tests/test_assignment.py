@@ -467,3 +467,16 @@ def test_lap_points_scipy_fallback(monkeypatch):
         r, c = linear_sum_assignment(cost)
         np.testing.assert_allclose(
             cost[np.arange(25), perm[k]].sum(), cost[r, c].sum(), rtol=1e-5)
+
+
+def test_resolve_band_auto():
+    from reart_tpu.ops.assignment import resolve_band
+
+    assert resolve_band(512, 4096) == 512      # explicit wins
+    assert resolve_band(0, 4096) == 0          # disabled passes through
+    assert resolve_band(-1, 1024) == 512       # clamped low
+    assert resolve_band(-1, 2048) == 512       # robot faithful: validated 512
+    assert resolve_band(-1, 4096) == 1024      # sapien ds1: measured-better
+    assert resolve_band(-1, 8192) == 1024      # clamped high
+    for n in (1024, 2048, 4096, 8192):
+        assert resolve_band(-1, n) % 128 == 0
