@@ -193,20 +193,66 @@ def assignment_cost(cost: jnp.ndarray, row_to_col: jnp.ndarray) -> jnp.ndarray:
 # banded points-level solver (giant problems: 2048^2, 4096^2)
 # ---------------------------------------------------------------------------
 
+def _spread_bits(x):  # interleave each 10-bit coord into every 3rd bit
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _quantize(pts, lo, hi, bits=10):
+    top = float(2 ** bits - 1)
+    return jnp.clip((pts - lo) / jnp.maximum(hi - lo, 1e-9) * top,
+                    0.0, top).astype(jnp.uint32)
+
+
 def _morton_keys(pts: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray):
     """30-bit Morton codes of (B, N, 3) points, bbox (B, 1, 3) lo/hi."""
-    q = jnp.clip((pts - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0,
-                 0.0, 1023.0).astype(jnp.uint32)
+    q = _quantize(pts, lo, hi)
+    return (_spread_bits(q[..., 0]) | (_spread_bits(q[..., 1]) << 1)
+            | (_spread_bits(q[..., 2]) << 2))
 
-    def spread(x):  # interleave each 10-bit coord into every 3rd bit
-        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
-        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
-        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
-        x = (x | (x << 2)) & jnp.uint32(0x09249249)
-        return x
 
-    return (spread(q[..., 0]) | (spread(q[..., 1]) << 1)
-            | (spread(q[..., 2]) << 2))
+def _hilbert_keys(pts: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                  bits: int = 10):
+    """30-bit Hilbert indices of (B, N, 3) points (branchless Skilling
+    axes-to-transpose). Unlike Morton, CONSECUTIVE curve positions are
+    always face-adjacent cells — no large spatial jumps mid-curve — so
+    sorted order preserves geometric locality strictly better (pinned by
+    tests/test_assignment.py::TestCurveKeys)."""
+    return _hilbert_index(_quantize(pts, lo, hi, bits), bits)
+
+
+def _hilbert_index(q: jnp.ndarray, bits: int = 10):
+    """Hilbert index of uint32 cell coords q (..., 3) in [0, 2^bits)."""
+    X = [q[..., 0], q[..., 1], q[..., 2]]
+    # inverse undo: per bit plane (high to low), per axis — the data-
+    # dependent branch of the scalar algorithm becomes a jnp.where select
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = jnp.uint32(Q - 1)
+        Qu = jnp.uint32(Q)
+        for i in range(3):
+            hit = (X[i] & Qu) != 0
+            swap = (X[0] ^ X[i]) & P  # i == 0 -> 0: else-branch no-op
+            X0_new = jnp.where(hit, X[0] ^ P, X[0] ^ swap)
+            if i > 0:
+                X[i] = jnp.where(hit, X[i], X[i] ^ swap)
+            X[0] = X0_new
+        Q >>= 1
+    # Gray encode
+    X[1] = X[1] ^ X[0]
+    X[2] = X[2] ^ X[1]
+    t = jnp.zeros_like(X[2])
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        t = jnp.where((X[2] & jnp.uint32(Q)) != 0, t ^ jnp.uint32(Q - 1), t)
+        Q >>= 1
+    X = [xi ^ t for xi in X]
+    # transpose: bit q of X[0] is the MSB of the q-th 3-bit index group
+    return (_spread_bits(X[2]) | (_spread_bits(X[1]) << 1)
+            | (_spread_bits(X[0]) << 2))
 
 
 def resolve_band(band: int, n: int) -> int:
@@ -214,10 +260,17 @@ def resolve_band(band: int, n: int) -> int:
     [512, 1024] (multiples of 128 by construction). Measured on real
     end-of-fit sapien clouds at 4096^2: the 1024-wide band costs the same
     wall-clock as 512 and cuts matched cost / duplicate columns ~10/18%;
-    at 2048^2 (robot faithful) auto keeps the validated 512."""
+    at 2048^2 (robot faithful) auto keeps the validated 512. Auto also
+    respects the kernel's 16 MB per-element band-scratch gate
+    (pallas_auction.banded_available) — at 8192^2 it steps 1024 back down
+    to 512 rather than silently losing the banded path to the dense
+    fallback."""
     if band != -1:
         return band
-    return min(1024, max(512, n // 4))
+    w = min(1024, max(512, n // 4))
+    while w > 512 and n * w * 4 > 16 * 1024 * 1024:
+        w //= 2
+    return w
 
 
 def banded_points_available(n: int, m: int, band: int) -> bool:
@@ -229,7 +282,7 @@ def banded_points_available(n: int, m: int, band: int) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("band", "eps_min", "num_scales", "scale_factor",
-                     "max_sweeps", "return_price", "nn_recenter"),
+                     "max_sweeps", "return_price", "nn_recenter", "curve"),
 )
 def auction_lap_points(
     pc_src: jnp.ndarray,
@@ -242,11 +295,14 @@ def auction_lap_points(
     price: jnp.ndarray | None = None,
     return_price: bool = False,
     nn_recenter: bool = False,
+    curve: str | None = None,
 ):
     """Approximate euclidean-cost LAP straight from point clouds.
 
     pc_src (B, N, 3), pc_tgt (B, M, 3), N == M. Sorts both clouds along a
-    Morton curve (shared per-element bbox), runs the banded resident auction
+    space-filling curve (`curve`: "hilbert" / "morton" / None = by band
+    width, see below; shared per-element bbox), runs the banded resident
+    auction
     (pallas_auction.auction_solve_banded) on diagonal-centred column windows
     of width `band`, and maps the matching back to original indices. The
     dense (B, N, M) cost matrix is never built. `price` warm-starts in
@@ -255,7 +311,7 @@ def auction_lap_points(
     greedy completion).
 
     `nn_recenter=True` instead sorts ROWS by the sorted column position of
-    each row's nearest target point (stable, Morton tie-break), putting a
+    each row's nearest target point (stable, curve-order tie-break), putting a
     row's likely match on the band diagonal even when the two clouds' own
     space-filling orders disagree. Measured on real problems (one session,
     2026-08-17): ~2-7% better matched cost on model-ALIGNED clouds
@@ -273,8 +329,15 @@ def auction_lap_points(
     both = jnp.concatenate([pc_src, pc_tgt], axis=1)
     lo = jnp.min(both, axis=1, keepdims=True)
     hi = jnp.max(both, axis=1, keepdims=True)
-    rperm = jnp.argsort(_morton_keys(pc_src, lo, hi), axis=1)
-    cperm = jnp.argsort(_morton_keys(pc_tgt, lo, hi), axis=1)
+    if curve is None:
+        # measured on real problems (PARITY, one session): Hilbert's
+        # strict curve adjacency wins at wide bands (1024: -1.5% matched
+        # cost on end-of-fit 4096^2, -5%/-16% dup on raw), Morton edges it
+        # at 512 (faithful 2048^2: 247 vs 253) — default follows the band
+        curve = "hilbert" if band >= 1024 else "morton"
+    keys = {"hilbert": _hilbert_keys, "morton": _morton_keys}[curve]
+    rperm = jnp.argsort(keys(pc_src, lo, hi), axis=1)
+    cperm = jnp.argsort(keys(pc_tgt, lo, hi), axis=1)
 
     src_s = jnp.take_along_axis(pc_src, rperm[..., None], axis=1)
     tgt_s = jnp.take_along_axis(pc_tgt, cperm[..., None], axis=1)

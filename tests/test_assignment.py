@@ -496,6 +496,44 @@ def test_resolve_band_auto():
     assert resolve_band(-1, 1024) == 512       # clamped low
     assert resolve_band(-1, 2048) == 512       # robot faithful: validated 512
     assert resolve_band(-1, 4096) == 1024      # sapien ds1: measured-better
-    assert resolve_band(-1, 8192) == 1024      # clamped high
+    # 8192 x 1024 band = 32 MB > the 16 MB scratch gate: auto steps down
+    # to 512 (16 MB) instead of silently losing the banded path to dense
+    assert resolve_band(-1, 8192) == 512
     for n in (1024, 2048, 4096, 8192):
-        assert resolve_band(-1, n) % 128 == 0
+        w = resolve_band(-1, n)
+        assert w % 128 == 0 and n * w * 4 <= 16 * 1024 * 1024
+
+
+class TestCurveKeys:
+    def test_hilbert_bijective_and_adjacent(self):
+        """Over ALL cells of a 8^3 grid the Hilbert index must be a
+        bijection onto [0, 512) and consecutive curve positions must be
+        face-adjacent (L1 distance exactly 1) — the property Morton lacks
+        and the reason the banded LAP sorts along a space-filling curve."""
+        from reart_tpu.ops.assignment import _hilbert_index
+
+        bits = 3
+        n = 1 << bits
+        g = np.stack(np.meshgrid(*([np.arange(n)] * 3), indexing="ij"),
+                     axis=-1).reshape(-1, 3).astype(np.uint32)
+        keys = np.asarray(_hilbert_index(jnp.asarray(g), bits))
+        assert np.array_equal(np.sort(keys), np.arange(n ** 3))  # bijection
+        order = np.argsort(keys)
+        steps = np.abs(np.diff(g[order].astype(np.int64), axis=0)).sum(1)
+        assert (steps == 1).all()  # every curve step is face-adjacent
+
+    def test_morton_not_adjacent(self):
+        """Sanity: Morton genuinely lacks the adjacency property (else the
+        Hilbert upgrade would be pointless)."""
+        from reart_tpu.ops.assignment import _spread_bits
+
+        n = 8
+        g = np.stack(np.meshgrid(*([np.arange(n)] * 3), indexing="ij"),
+                     axis=-1).reshape(-1, 3).astype(np.uint32)
+        gg = jnp.asarray(g)
+        keys = np.asarray(_spread_bits(gg[..., 0])
+                          | (_spread_bits(gg[..., 1]) << 1)
+                          | (_spread_bits(gg[..., 2]) << 2))
+        order = np.argsort(keys)
+        steps = np.abs(np.diff(g[order].astype(np.int64), axis=0)).sum(1)
+        assert (steps > 1).any()
