@@ -368,6 +368,25 @@ class TestBandedAuction:
         inv = np.argsort(perm)
         assert (r2c[0] == inv[np.arange(n)]).mean() > 0.95
 
+    def test_hilbert_curve_roundtrip(self):
+        """The Hilbert-sorted path must also return matchings in ORIGINAL
+        index space (permutation recovery on a permuted copy)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.assignment import auction_lap_points
+
+        rng = np.random.RandomState(6)
+        b, n = 1, 128
+        src = rng.randn(b, n, 3).astype(np.float32)
+        perm = rng.permutation(n)
+        tgt = src[:, perm] + 1e-4
+        with pltpu.force_tpu_interpret_mode():
+            r2c = np.asarray(auction_lap_points(
+                jnp.asarray(src), jnp.asarray(tgt), band=128, max_sweeps=500,
+                curve="hilbert"))
+        inv = np.argsort(perm)
+        assert (r2c[0] == inv[np.arange(n)]).mean() > 0.95
+
     def test_nn_recenter_roundtrip(self):
         """The NN-guided row order must still return a valid matching in
         ORIGINAL index space (permutation recovery on a permuted copy)."""
