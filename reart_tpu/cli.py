@@ -39,7 +39,33 @@ def build_parser() -> argparse.ArgumentParser:
     for domain in ("robot", "sapien", "real"):
         p = sub.add_parser(domain)
         _common_args(p, domain)
+    _corr_args(sub.add_parser(
+        "corr", help="self-train the correspondence backbone (the reference "
+                     "ships only a frozen external checkpoint)"))
     return parser
+
+
+def _corr_args(p: argparse.ArgumentParser):
+    """`run.py corr`: train PointNet2Msg2 features on synthetic rigid-part
+    deformations of a sequence's own frames (train/corr.py), producing a
+    checkpoint for --flow_provider corr / --corr_model_path."""
+    p.add_argument("--manual_seed", default=2, type=int)
+    p.add_argument("--data_domain", default="robot", choices=["robot", "real"],
+                   help="which dataset loader + normalization to use")
+    p.add_argument("--seq_path", default="data/robot/nao", type=str)
+    p.add_argument("--num_points", default=4096, type=int)
+    p.add_argument("--cano_idx", default=0, type=int)
+    p.add_argument("--normalize_file",
+                   default="data/category_normalize_scale.pkl", type=str)
+    p.add_argument("--save_path", default="corr_model.pkl", type=str)
+    p.add_argument("--steps", default=2000, type=int)
+    p.add_argument("--batch", default=4, type=int)
+    p.add_argument("--train_points", default=1024, type=int)
+    p.add_argument("--lr", default=1e-3, type=float)
+    p.add_argument("--temperature", default=0.07, type=float)
+    p.add_argument("--max_angle", default=0.6, type=float)
+    p.add_argument("--k_parts", default=8, type=int)
+    p.add_argument("--dispatch_chunk", default=50, type=int)
 
 
 def _common_args(p: argparse.ArgumentParser, domain: str):
@@ -231,6 +257,66 @@ def setup_flow(args, domain: str, dataset, sample):
         centroid, scale = dataset.centroid, float(dataset.scale)
     return build_flow_context(complete, extract_fn, centroid=centroid,
                               scale=scale, matching="smnn")
+
+
+def run_train_corr(args):
+    """`run.py corr`: self-train the correspondence backbone on a sequence's
+    own frames (train/corr.py) and save a --corr_model_path checkpoint.
+
+    Frames are normalized EXACTLY as setup_flow will normalize them at fit
+    time (robot: category file, run_robot.py:72-77; real: dataset-local,
+    run_real.py:67), so the training distribution matches inference."""
+    import jax.numpy as jnp
+
+    from reart_tpu.flow import normalize_pc_list
+    from reart_tpu.models.pointnet2 import save_corr_model
+    from reart_tpu.train.corr import (
+        CorrTrainConfig,
+        match_precision,
+        synth_pair,
+        train_corr,
+    )
+
+    dataset = load_dataset(args, args.data_domain)
+    sample = dataset[0]
+    complete = np.asarray(sample["complete_pc_list"], np.float32)
+    if args.data_domain == "robot":
+        from reart_tpu.data.common import load_normalize_dict
+
+        cat = args.seq_path.rstrip("/").split("/")[-1]
+        info = load_normalize_dict(args.normalize_file)[cat]
+        centroid, scale = info["centroid"], float(info["scale"])
+    else:
+        centroid, scale = dataset.centroid, float(dataset.scale)
+    frames = np.asarray(
+        normalize_pc_list(jnp.asarray(complete), jnp.asarray(centroid), scale))
+
+    cfg = CorrTrainConfig(
+        steps=args.steps, batch=args.batch,
+        n_points=min(args.train_points, frames.shape[1]),
+        k_parts=args.k_parts, max_angle=args.max_angle,
+        temperature=args.temperature, lr=args.lr,
+        dispatch_chunk=args.dispatch_chunk)
+    key = jax.random.PRNGKey(args.manual_seed)
+    print(f"training corr backbone: {frames.shape[0]} frames x "
+          f"{frames.shape[1]} pts, {cfg.steps} steps x batch {cfg.batch} "
+          f"@ {cfg.n_points} pts")
+    params, losses = train_corr(
+        key, frames, cfg,
+        log_fn=lambda s, l: print(f"  step {s}/{cfg.steps} loss {l:.3f}",
+                                  flush=True))
+
+    # held-out synthetic pair through the INFERENCE path (running BN + SMNN)
+    src, tgt = synth_pair(jax.random.PRNGKey(10_007), jnp.asarray(frames), cfg)
+    prec, rate = match_precision(params, src, tgt)
+    print(f"final loss {losses[-1]:.3f}; held-out synthetic pair: "
+          f"SMNN precision {prec:.3f}, match rate {rate:.3f}")
+
+    save_corr_model(args.save_path, params)
+    print(f"saved {args.save_path} (use: run.py {args.data_domain} "
+          f"--flow_provider corr --corr_model_path {args.save_path})")
+    return {"loss": float(losses[-1]), "precision": prec, "match_rate": rate,
+            "save_path": args.save_path}
 
 
 def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
@@ -571,6 +657,9 @@ def main(argv=None):
     plat = os.environ.get("JAX_PLATFORMS")
     if plat and plat != "axon":
         jax.config.update("jax_platforms", plat)
+
+    if domain == "corr":
+        return run_train_corr(args)
 
     from reart_tpu import checkpoint as ckpt
     from reart_tpu import viz

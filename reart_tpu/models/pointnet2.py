@@ -62,10 +62,27 @@ def _init_conv_bn(key, c_in, c_out):
     }
 
 
-def _apply_conv_bn(layer, x, relu: bool = True):
-    """x (..., C_in) -> relu(bn(x @ w + b)) with inference-mode BN."""
+def _apply_conv_bn(layer, x, relu: bool = True, bn_mode: str = "running",
+                   stats_out: list | None = None):
+    """x (..., C_in) -> relu(bn(x @ w + b)).
+
+    bn_mode="running" (default) is inference-mode BN over the stored running
+    stats — the reference's frozen-extractor behavior. bn_mode="batch"
+    normalizes by the current batch's moments (training mode, used by
+    train/corr.py); when stats_out is a list the (mean, var) pair is appended
+    so the caller can EMA them back into the parameter tree (torch
+    running-stat semantics, biased variance).
+    """
     y = x @ layer["w"] + layer["b"]
-    y = (y - layer["bn_mean"]) / jnp.sqrt(layer["bn_var"] + BN_EPS)
+    if bn_mode == "batch":
+        axes = tuple(range(y.ndim - 1))
+        mean = jnp.mean(y, axis=axes)
+        var = jnp.var(y, axis=axes)
+        if stats_out is not None:
+            stats_out.append((mean, var))
+    else:
+        mean, var = layer["bn_mean"], layer["bn_var"]
+    y = (y - mean) / jnp.sqrt(var + BN_EPS)
     y = y * layer["bn_w"] + layer["bn_b"]
     return jax.nn.relu(y) if relu else y
 
@@ -95,7 +112,8 @@ def init_pointnet2msg2(key, out_dim: int = 64):
     return params
 
 
-def _sa_msg(blocks, npoint, radii, nsamples, xyz, points):
+def _sa_msg(blocks, npoint, radii, nsamples, xyz, points, bn_mode="running",
+            stats_out=None):
     """Multi-scale-grouping set abstraction (pointnet2_utils.py:239-295).
 
     xyz (B, N, 3), points (B, N, D) -> (new_xyz (B, S, 3), feats (B, S, sumD')).
@@ -111,22 +129,25 @@ def _sa_msg(blocks, npoint, radii, nsamples, xyz, points):
         gpts = index_points(points, gidx)
         feat = jnp.concatenate([gpts, gxyz], axis=-1)  # (B, S, K, D+3)
         for layer in block:
-            feat = _apply_conv_bn(layer, feat)
+            feat = _apply_conv_bn(layer, feat, bn_mode=bn_mode,
+                                  stats_out=stats_out)
         outs.append(jnp.max(feat, axis=2))  # (B, S, D')
     return new_xyz, jnp.concatenate(outs, axis=-1)
 
 
-def _sa_group_all(block, xyz, points):
+def _sa_group_all(block, xyz, points, bn_mode="running", stats_out=None):
     """Global set abstraction (pointnet2_utils.py:173-191, 194-236 group_all
     branch): cat([xyz, points]) — raw xyz FIRST here."""
     feat = jnp.concatenate([xyz, points], axis=-1)[:, None]  # (B, 1, N, 3+D)
     for layer in block:
-        feat = _apply_conv_bn(layer, feat)
+        feat = _apply_conv_bn(layer, feat, bn_mode=bn_mode,
+                              stats_out=stats_out)
     new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
     return new_xyz, jnp.max(feat, axis=2)  # (B, 1, D')
 
 
-def _fp(block, xyz1, xyz2, points1, points2):
+def _fp(block, xyz1, xyz2, points1, points2, bn_mode="running",
+        stats_out=None):
     """Feature propagation (pointnet2_utils.py:298-348): 3-NN inverse-square
     -distance interpolation (S>1) or broadcast (S==1), concat skip, MLP."""
     b, n, _ = xyz1.shape
@@ -142,28 +163,54 @@ def _fp(block, xyz1, xyz2, points1, points2):
         interp = jnp.sum(gathered * w[..., None], axis=2)
     feat = interp if points1 is None else jnp.concatenate([points1, interp], -1)
     for layer in block:
-        feat = _apply_conv_bn(layer, feat)
+        feat = _apply_conv_bn(layer, feat, bn_mode=bn_mode,
+                              stats_out=stats_out)
     return feat
 
 
-def apply_pointnet2msg2(params, xyz: jnp.ndarray) -> jnp.ndarray:
+def apply_pointnet2msg2(params, xyz: jnp.ndarray, bn_mode: str = "running",
+                        stats_out: list | None = None) -> jnp.ndarray:
     """xyz (B, N, 3) -> per-point features (B, N, out_dim).
 
     The reference takes channel-first (B, 3, N) and returns (B, out_dim, N)
     (feature_extractor.py:31-49); we are channel-last throughout.
+
+    bn_mode/stats_out: see _apply_conv_bn — "running" (default) matches the
+    reference's frozen inference path exactly; "batch" is the training mode
+    used by train/corr.py, collecting per-layer moments into stats_out in
+    `bn_paths` order.
     """
     l0_xyz = xyz
     l0_points = xyz
     l1_xyz, l1_points = _sa_msg(params["sa1"], SA1[0], SA1[1], SA1[2],
-                                l0_xyz, l0_points)
+                                l0_xyz, l0_points, bn_mode, stats_out)
     l2_xyz, l2_points = _sa_msg(params["sa2"], SA2[0], SA2[1], SA2[2],
-                                l1_xyz, l1_points)
-    l3_xyz, l3_points = _sa_group_all(params["sa3"], l2_xyz, l2_points)
-    l2_points = _fp(params["fp3"], l2_xyz, l3_xyz, l2_points, l3_points)
-    l1_points = _fp(params["fp2"], l1_xyz, l2_xyz, l1_points, l2_points)
+                                l1_xyz, l1_points, bn_mode, stats_out)
+    l3_xyz, l3_points = _sa_group_all(params["sa3"], l2_xyz, l2_points,
+                                      bn_mode, stats_out)
+    l2_points = _fp(params["fp3"], l2_xyz, l3_xyz, l2_points, l3_points,
+                    bn_mode, stats_out)
+    l1_points = _fp(params["fp2"], l1_xyz, l2_xyz, l1_points, l2_points,
+                    bn_mode, stats_out)
     l0_points = _fp(params["fp1"], l0_xyz, l1_xyz,
-                    jnp.concatenate([l0_xyz, l0_points], -1), l1_points)
-    return _apply_conv_bn(params["head"], l0_points)
+                    jnp.concatenate([l0_xyz, l0_points], -1), l1_points,
+                    bn_mode, stats_out)
+    return _apply_conv_bn(params["head"], l0_points, bn_mode=bn_mode,
+                          stats_out=stats_out)
+
+
+def bn_paths(params) -> list:
+    """Key paths of every conv+BN layer in FORWARD-application order — the
+    order `stats_out` fills in bn_mode="batch". Used by train/corr.py to EMA
+    batch moments back into the parameter tree (torch running-stat update)."""
+    paths = []
+    for name in ("sa1", "sa2"):
+        for bi, block in enumerate(params[name]):
+            paths.extend((name, bi, li) for li in range(len(block)))
+    for name in ("sa3", "fp3", "fp2", "fp1"):
+        paths.extend((name, li) for li in range(len(params[name])))
+    paths.append(("head",))
+    return paths
 
 
 # ---------------------------------------------------------------------------
@@ -222,8 +269,32 @@ def load_torch_state_dict(state_dict) -> dict:
     }
 
 
+CORR_NATIVE_FORMAT = "reart_tpu_corr_v1"
+
+
+def save_corr_model(path: str, params) -> None:
+    """Save a (possibly self-trained, see train/corr.py) backbone natively."""
+    import pickle
+
+    tree = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    with open(path, "wb") as f:
+        pickle.dump({"format": CORR_NATIVE_FORMAT, "params": tree}, f)
+
+
 def load_corr_model(path: str) -> dict:
-    """Load the released correspondence checkpoint (feature_extractor.py:62-86)."""
+    """Load a correspondence checkpoint: either the reference's released
+    torch tar (feature_extractor.py:62-86) or our native format
+    (save_corr_model / train/corr.py)."""
+    import pickle
+
+    try:
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        if isinstance(obj, dict) and obj.get("format") == CORR_NATIVE_FORMAT:
+            return jax.tree_util.tree_map(jnp.asarray, obj["params"])
+    except Exception:
+        pass  # torch tars are zip archives — fall through to torch.load
+
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

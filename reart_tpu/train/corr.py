@@ -1,0 +1,241 @@
+"""Self-supervised training of the correspondence backbone (PointNet2Msg2).
+
+The reference consumes its correspondence features from a FROZEN checkpoint
+trained elsewhere (`corr_model.pth.tar`, loaded at feature_extractor.py:62-86)
+and ships no trainer — a user without that file has no flow supervision on
+the robot/real domains. This module adds the missing capability TPU-natively:
+train the backbone on synthetic rigid-part deformations of the sequence's own
+frames (no GT labels anywhere), then hand the weights to the existing
+`--flow_provider corr` path.
+
+Recipe (classic point-feature self-supervision, e.g. PPF-FoldNet/predator-style
+InfoNCE, built from scratch here):
+  * sample a frame, subsample N points, split them into K random Voronoi
+    parts, move every part by a random screw (rotation about its centroid +
+    translation), add a global SE(3) and per-point jitter — correspondence is
+    the identity map by construction;
+  * embed both clouds with the SAME backbone (one batched pass) and train
+    with a bidirectional InfoNCE over the (N, N) feature-similarity logits;
+  * BatchNorm runs in batch-stats mode with an EMA write-back into the
+    parameter tree (torch running-stat semantics), so the trained tree drops
+    straight into the frozen inference path (`apply_pointnet2msg2`, running
+    mode) and the torch-format loaders stay untouched.
+
+Everything per-step is jit/vmap-safe (static shapes, branchless masking) and
+the whole optimization scans on-device in dispatch_chunk-bounded programs —
+the same dispatch discipline as train/engine.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reart_tpu.geometry.se3 import so3_exp_map
+from reart_tpu.models.pointnet2 import apply_pointnet2msg2, bn_paths
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrTrainConfig:
+    steps: int = 2000
+    batch: int = 4                # pairs per step
+    n_points: int = 1024          # points per cloud during training
+    k_parts: int = 8              # max synthetic rigid parts per example
+    min_parts: int = 2
+    max_angle: float = 0.6        # rad, per-part rotation about its centroid
+    max_slide: float = 0.08      # per-part translation (input units)
+    jitter: float = 0.004         # per-point gaussian noise (input units)
+    global_angle: float = 0.25    # global rotation applied to the target
+    global_slide: float = 0.08
+    scale_jitter: float = 0.15    # +-15% uniform rescale of the pair
+    temperature: float = 0.07     # InfoNCE logit temperature
+    lr: float = 1e-3
+    bn_momentum: float = 0.1      # torch BatchNorm default
+    dispatch_chunk: int = 50      # scan steps per device dispatch
+    out_dim: int = 64             # feature width (reference head: 64)
+    seed_frames: int = 0          # 0 = use all frames
+
+
+def synth_pair(key, frames, cfg: CorrTrainConfig):
+    """One synthetic training pair from the sequence's own frames.
+
+    frames: (F, N0, 3) clouds ALREADY normalized exactly as inference will
+    normalize them (cli.setup_flow passes the category/dataset centroid+scale
+    before matching — run_robot.py:72-77). Returns (src (N, 3), tgt (N, 3))
+    with correspondence src[i] <-> tgt[i] by construction.
+    """
+    kf, kp, ks, kk, kax, kan, ktr, kga, kgan, kgt, kj1, kj2, ksc = (
+        jax.random.split(key, 13))
+    f_count, n0 = frames.shape[0], frames.shape[1]
+    n, k_max = cfg.n_points, cfg.k_parts
+
+    cloud = frames[jax.random.randint(kf, (), 0, f_count)]
+    x = cloud[jax.random.permutation(kp, n0)[:n]]  # (N, 3)
+
+    # Voronoi split around K random seed points; a random subset of seeds is
+    # active so part count varies in [min_parts, k_parts]
+    seeds = x[jax.random.permutation(ks, n)[:k_max]]  # (K, 3)
+    k_active = jax.random.randint(kk, (), cfg.min_parts, k_max + 1)
+    active = jnp.arange(k_max) < k_active
+    d2 = jnp.sum((x[:, None] - seeds[None]) ** 2, axis=-1)  # (N, K)
+    d2 = jnp.where(active[None], d2, jnp.inf)
+    label = jnp.argmin(d2, axis=-1)  # (N,)
+    onehot = jax.nn.one_hot(label, k_max, dtype=x.dtype)  # (N, K)
+
+    counts = jnp.sum(onehot, axis=0)  # (K,)
+    centroids = (onehot.T @ x) / jnp.maximum(counts, 1.0)[:, None]  # (K, 3)
+
+    axis = jax.random.normal(kax, (k_max, 3))
+    axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-8)
+    angle = jax.random.uniform(kan, (k_max, 1), minval=-cfg.max_angle,
+                               maxval=cfg.max_angle)
+    rot = so3_exp_map(axis * angle)  # (K, 3, 3)
+    slide = cfg.max_slide * jax.random.normal(ktr, (k_max, 3))
+
+    c = centroids[label]  # (N, 3)
+    r = rot[label]        # (N, 3, 3)
+    y = jnp.einsum("nij,nj->ni", r, x - c) + c + slide[label]
+
+    # global motion on the target (camera / root movement)
+    gaxis = jax.random.normal(kga, (3,))
+    gaxis = gaxis / (jnp.linalg.norm(gaxis) + 1e-8)
+    gangle = jax.random.uniform(kgan, (), minval=-cfg.global_angle,
+                                maxval=cfg.global_angle)
+    grot = so3_exp_map((gaxis * gangle)[None])[0]
+    gslide = cfg.global_slide * jax.random.normal(kgt, (3,))
+    y = y @ grot.T + gslide
+
+    x = x + cfg.jitter * jax.random.normal(kj1, x.shape)
+    y = y + cfg.jitter * jax.random.normal(kj2, y.shape)
+
+    s = jax.random.uniform(ksc, (), minval=1.0 - cfg.scale_jitter,
+                           maxval=1.0 + cfg.scale_jitter)
+    return x * s, y * s
+
+
+def apply_bn_ema(params, stats, momentum: float):
+    """EMA the collected batch moments back into the tree (torch semantics:
+    running = (1-m)*running + m*batch), in `bn_paths` forward order."""
+    paths = bn_paths(params)
+    assert len(paths) == len(stats), (len(paths), len(stats))
+    # shallow-copy the containers we touch so the update stays functional
+    out = {k: (list(v) if isinstance(v, list) else v)
+           for k, v in params.items()}
+    for name in ("sa1", "sa2"):
+        out[name] = [list(block) for block in params[name]]
+    for path, (mean, var) in zip(paths, stats):
+        node = out
+        for p in path[:-1]:
+            node = node[p]
+        layer = dict(node[path[-1]] if path != ("head",) else out["head"])
+        layer["bn_mean"] = (1 - momentum) * layer["bn_mean"] + momentum * mean
+        layer["bn_var"] = (1 - momentum) * layer["bn_var"] + momentum * var
+        if path == ("head",):
+            out["head"] = layer
+        else:
+            node[path[-1]] = layer
+    return out
+
+
+def corr_info_nce(params, src, tgt, temperature: float):
+    """Bidirectional InfoNCE on identity-corresponding clouds.
+
+    src/tgt: (B, N, 3). Returns (loss, bn_stats) — the backbone runs ONE
+    batched pass over the 2B clouds so batch statistics are shared.
+    """
+    import optax
+
+    b, n = src.shape[0], src.shape[1]
+    stats = []
+    feats = apply_pointnet2msg2(params, jnp.concatenate([src, tgt], 0),
+                                bn_mode="batch", stats_out=stats)
+    feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
+    f1, f2 = feats[:b], feats[b:]
+    logits = jnp.einsum("bnd,bmd->bnm", f1, f2) / temperature  # (B, N, N)
+    labels = jnp.broadcast_to(jnp.arange(n), (b, n))
+    ce = optax.softmax_cross_entropy_with_integer_labels
+    loss = 0.5 * (jnp.mean(ce(logits, labels)) +
+                  jnp.mean(ce(jnp.swapaxes(logits, 1, 2), labels)))
+    return loss, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _train_chunk(cfg: CorrTrainConfig, tx, params, opt_state, frames, keys):
+    """Scan cfg.dispatch_chunk steps in one device program."""
+
+    def body(carry, key):
+        params, opt_state = carry
+        pair_keys = jax.random.split(key, cfg.batch)
+        src, tgt = jax.vmap(lambda k: synth_pair(k, frames, cfg))(pair_keys)
+        (loss, stats), grads = jax.value_and_grad(
+            corr_info_nce, has_aux=True)(params, src, tgt, cfg.temperature)
+        import optax
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = apply_bn_ema(params, stats, cfg.bn_momentum)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), keys)
+    return params, opt_state, losses
+
+
+def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
+               params=None, log_fn=None):
+    """Train the backbone on frames (F, N0, 3) (normalized — see synth_pair).
+
+    Returns (params, losses (steps,)). The returned tree is inference-ready:
+    running BN stats carry the EMA of training batch moments.
+    """
+    import optax
+
+    from reart_tpu.models.pointnet2 import init_pointnet2msg2
+
+    frames = jnp.asarray(frames, jnp.float32)
+    if cfg.seed_frames:
+        frames = frames[: cfg.seed_frames]
+    assert frames.shape[1] >= cfg.n_points, (
+        f"frames have {frames.shape[1]} points, need >= {cfg.n_points}")
+
+    if params is None:
+        key, init_key = jax.random.split(key)
+        params = init_pointnet2msg2(init_key, out_dim=cfg.out_dim)
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    losses = []
+    done = 0
+    while done < cfg.steps:
+        chunk = min(cfg.dispatch_chunk, cfg.steps - done)
+        key, sub = jax.random.split(key)
+        step_keys = jax.random.split(sub, chunk)
+        # re-jit only when the chunk length changes (the tail chunk)
+        params, opt_state, chunk_losses = _train_chunk(
+            cfg if chunk == cfg.dispatch_chunk
+            else dataclasses.replace(cfg, dispatch_chunk=chunk),
+            tx, params, opt_state, frames, step_keys)
+        losses.append(np.asarray(chunk_losses))
+        done += chunk
+        if log_fn is not None:
+            log_fn(done, float(losses[-1][-1]))
+    return params, np.concatenate(losses)
+
+
+def match_precision(params, src, tgt, th: float = 0.9):
+    """Evaluation: SMNN-match src->tgt features (the exact inference matching,
+    flow.match_smnn) on an identity-corresponding pair; returns
+    (precision, match_rate): fraction of VALID matches that are correct, and
+    fraction of points matched at all."""
+    from reart_tpu.flow import match_smnn
+
+    feats = apply_pointnet2msg2(params, jnp.stack([src, tgt]))
+    f1, f2 = feats[0], feats[1]
+    _, j, valid = match_smnn(f1, f2, th)
+    correct = valid & (j == jnp.arange(src.shape[0]))
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return (float(jnp.sum(correct) / n_valid),
+            float(jnp.mean(valid.astype(jnp.float32))))

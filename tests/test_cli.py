@@ -179,3 +179,38 @@ def test_robot_corr_flow_provider_e2e(robot_dir, tmp_path):
     seq_dir = os.path.join(save_root, cat)
     txt = open(os.path.join(seq_dir, "result.txt")).read()
     assert "flow_epe" in txt  # flow supervision was wired in
+
+
+@pytest.mark.slow
+def test_train_corr_cli_then_fit(robot_dir, tmp_path):
+    """`run.py corr` (the trainer the reference lacks) end-to-end: self-train
+    a correspondence backbone on the sequence's own frames, save it natively,
+    then run the robot fit with --flow_provider corr on the result — the
+    complete zero-external-checkpoint pipeline."""
+    cat = os.path.basename(robot_dir.rstrip("/"))
+    norm_path = str(tmp_path / "normalize.pkl")
+    with open(norm_path, "wb") as f:
+        pickle.dump({cat: {"centroid": np.zeros(3, np.float32),
+                           "scale": 1.0}}, f)
+    ckpt_path = str(tmp_path / "corr_model.pkl")
+
+    out = cli_main([
+        "corr", "--data_domain", "robot", "--seq_path", robot_dir,
+        "--normalize_file", norm_path, "--num_points", "360",
+        "--steps", "4", "--batch", "2", "--train_points", "360",
+        "--dispatch_chunk", "2", "--save_path", ckpt_path,
+    ])
+    assert os.path.exists(ckpt_path)
+    assert np.isfinite(out["loss"])
+
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "robot", "--seq_path", robot_dir, "--save_root", save_root,
+        "--n_iter", "40", "--assign_iter", "1000", "--use_flow_loss",
+        "--flow_provider", "corr", "--corr_model_path", ckpt_path,
+        "--normalize_file", norm_path, "--num_parts", "4",
+        "--num_points", "360", "--start_tau", "1", "--end_tau", "0.5",
+        "--snapshot_gap", "1000",
+    ])
+    txt = open(os.path.join(save_root, cat, "result.txt")).read()
+    assert "flow_epe" in txt
