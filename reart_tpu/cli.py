@@ -50,14 +50,20 @@ def _corr_args(p: argparse.ArgumentParser):
     deformations of a sequence's own frames (train/corr.py), producing a
     checkpoint for --flow_provider corr / --corr_model_path."""
     p.add_argument("--manual_seed", default=2, type=int)
-    p.add_argument("--data_domain", default="robot", choices=["robot", "real"],
+    p.add_argument("--data_domain", default="robot",
+                   choices=["robot", "real", "sapien"],
                    help="which dataset loader + normalization to use")
     p.add_argument("--seq_path", default="data/robot/nao", type=str)
     p.add_argument("--num_points", default=4096, type=int)
     p.add_argument("--cano_idx", default=0, type=int)
     p.add_argument("--normalize_file",
                    default="data/category_normalize_scale.pkl", type=str)
+    p.add_argument("--sapien_base_folder", default="data/mbs-sapien", type=str)
+    p.add_argument("--sapien_idx", default=212, type=int)
     p.add_argument("--save_path", default="corr_model.pkl", type=str)
+    p.add_argument("--save_torch", default=None, type=str,
+                   help="also export the torch-format checkpoint (loads into "
+                        "the reference's PointNet2Msg2, strict=True)")
     p.add_argument("--steps", default=2000, type=int)
     p.add_argument("--batch", default=4, type=int)
     p.add_argument("--train_points", default=1024, type=int)
@@ -144,6 +150,15 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     if domain == "sapien":
         p.add_argument("--sapien_base_folder", default="data/mbs-sapien", type=str)
         p.add_argument("--sapien_idx", default=212, type=int)
+        p.add_argument("--flow_provider", default="msync",
+                       choices=["msync", "corr"],
+                       help="flow supervision source: the external msync "
+                            "nets / --flow_file (reference protocol) or a "
+                            "correspondence backbone (e.g. self-trained via "
+                            "`run.py corr --data_domain sapien` — no "
+                            "external checkpoints needed)")
+        p.add_argument("--corr_model_path",
+                       default="pretrained/corr_model.pth.tar", type=str)
         p.add_argument("--batch_seq", default=None, type=str,
                        help="comma-separated sequence indices: fit their "
                             "relaxation stages as ONE mesh-sharded batch "
@@ -206,6 +221,29 @@ def load_dataset(args, domain: str):
     return RealSequence(args.seq_path, args.num_points, args.cano_idx)
 
 
+def corr_normalization(args, domain: str, dataset, complete):
+    """Cloud normalization for the correspondence extractor — ONE convention
+    shared by training (run_train_corr) and inference (setup_flow), so the
+    self-trained backbone sees the same distribution both times.
+
+    robot: category file (run_robot.py:72-77); real: dataset-local
+    (run_real.py:67); sapien: per-sequence unit-ball stats (the reference
+    has no corr path on sapien — it uses msync — so no convention exists
+    to match; any shared one works)."""
+    if domain == "robot":
+        from reart_tpu.data.common import load_normalize_dict
+
+        cat = args.seq_path.rstrip("/").split("/")[-1]
+        info = load_normalize_dict(args.normalize_file)[cat]
+        return info["centroid"], float(info["scale"])
+    if domain == "real":
+        return dataset.centroid, float(dataset.scale)
+    flat = np.asarray(complete, np.float32).reshape(-1, 3)
+    centroid = flat.mean(0)
+    radius = float(np.linalg.norm(flat - centroid, axis=-1).max())
+    return centroid, 1.0 / max(radius, 1e-6)
+
+
 def setup_flow(args, domain: str, dataset, sample):
     """Build the FlowContext (one-time, run_robot.py:64-84 equivalents)."""
     if not args.use_flow_loss:
@@ -213,7 +251,7 @@ def setup_flow(args, domain: str, dataset, sample):
     from reart_tpu.flow import build_flow_context
 
     complete = sample["complete_pc_list"]
-    if domain == "sapien":
+    if domain == "sapien" and getattr(args, "flow_provider", "msync") != "corr":
         # msync flow-provider boundary: precomputed flows anchor every source
         # point with its predicted flow (confidence-masked)
         from reart_tpu.sapien_eval import load_precomputed_flow
@@ -242,19 +280,12 @@ def setup_flow(args, domain: str, dataset, sample):
             [gt[i] for i in range(gt.shape[0] - 1)],
             [gt[i + 1] - gt[i] for i in range(gt.shape[0] - 1)])
 
-    # robot / real: frozen corr model + SMNN matching
+    # robot / real / sapien-with-corr: frozen corr model + SMNN matching
     from reart_tpu.models.pointnet2 import apply_pointnet2msg2, load_corr_model
 
     corr_params = load_corr_model(args.corr_model_path)
     extract_fn = lambda x: apply_pointnet2msg2(corr_params, x)
-    if domain == "robot":
-        from reart_tpu.data.common import load_normalize_dict
-
-        cat = args.seq_path.rstrip("/").split("/")[-1]
-        info = load_normalize_dict(args.normalize_file)[cat]
-        centroid, scale = info["centroid"], float(info["scale"])
-    else:  # real: dataset-local normalization (run_real.py:67)
-        centroid, scale = dataset.centroid, float(dataset.scale)
+    centroid, scale = corr_normalization(args, domain, dataset, complete)
     return build_flow_context(complete, extract_fn, centroid=centroid,
                               scale=scale, matching="smnn")
 
@@ -278,16 +309,10 @@ def run_train_corr(args):
     )
 
     dataset = load_dataset(args, args.data_domain)
-    sample = dataset[0]
+    sample = dataset[args.sapien_idx if args.data_domain == "sapien" else 0]
     complete = np.asarray(sample["complete_pc_list"], np.float32)
-    if args.data_domain == "robot":
-        from reart_tpu.data.common import load_normalize_dict
-
-        cat = args.seq_path.rstrip("/").split("/")[-1]
-        info = load_normalize_dict(args.normalize_file)[cat]
-        centroid, scale = info["centroid"], float(info["scale"])
-    else:
-        centroid, scale = dataset.centroid, float(dataset.scale)
+    centroid, scale = corr_normalization(args, args.data_domain, dataset,
+                                         complete)
     frames = np.asarray(
         normalize_pc_list(jnp.asarray(complete), jnp.asarray(centroid), scale))
 
@@ -313,6 +338,12 @@ def run_train_corr(args):
           f"SMNN precision {prec:.3f}, match rate {rate:.3f}")
 
     save_corr_model(args.save_path, params)
+    if args.save_torch:
+        from reart_tpu.models.pointnet2 import save_corr_model_torch
+
+        save_corr_model_torch(args.save_torch, params)
+        print(f"saved torch-format checkpoint {args.save_torch} "
+              f"(loads strict=True into the reference's PointNet2Msg2)")
     print(f"saved {args.save_path} (use: run.py {args.data_domain} "
           f"--flow_provider corr --corr_model_path {args.save_path})")
     return {"loss": float(losses[-1]), "precision": prec, "match_rate": rate,

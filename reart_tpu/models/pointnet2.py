@@ -269,6 +269,49 @@ def load_torch_state_dict(state_dict) -> dict:
     }
 
 
+def _export_conv_bn(layer, conv_key, bn_key, conv_rank, out):
+    w = np.asarray(layer["w"]).T  # (in, out) -> (out, in)
+    out[f"{conv_key}.weight"] = w.reshape(w.shape + (1,) * (conv_rank - 2))
+    out[f"{conv_key}.bias"] = np.asarray(layer["b"])
+    out[f"{bn_key}.weight"] = np.asarray(layer["bn_w"])
+    out[f"{bn_key}.bias"] = np.asarray(layer["bn_b"])
+    out[f"{bn_key}.running_mean"] = np.asarray(layer["bn_mean"])
+    out[f"{bn_key}.running_var"] = np.asarray(layer["bn_var"])
+    out[f"{bn_key}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_torch_state_dict(params) -> dict:
+    """Inverse of load_torch_state_dict: our tree -> a state_dict that loads
+    strict=True into the reference's PointNet2Msg2 (so a self-trained
+    backbone from train/corr.py can flow BACK to reference users).
+
+    Conv ranks follow the reference modules: SA layers are Conv2d
+    (pointnet2_utils.py:206,254), FP layers and the head are Conv1d
+    (pointnet2_utils.py:305, feature_extractor.py:28)."""
+    sd = {}
+    for name in ("sa1", "sa2"):
+        for i, block in enumerate(params[name]):
+            for j, layer in enumerate(block):
+                _export_conv_bn(layer, f"{name}.conv_blocks.{i}.{j}",
+                                f"{name}.bn_blocks.{i}.{j}", 4, sd)
+    for name, rank in (("sa3", 4), ("fp3", 3), ("fp2", 3), ("fp1", 3)):
+        for j, layer in enumerate(params[name]):
+            _export_conv_bn(layer, f"{name}.mlp_convs.{j}",
+                            f"{name}.mlp_bns.{j}", rank, sd)
+    _export_conv_bn(params["head"], "conv1", "bn1", 3, sd)
+    return sd
+
+
+def save_corr_model_torch(path: str, params) -> None:
+    """Save in the released checkpoint's torch format (the file
+    get_extractor consumes, feature_extractor.py:62-86)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.array(v))  # copy: torch wants writable
+          for k, v in export_torch_state_dict(params).items()}
+    torch.save({"state_dict": sd}, path)
+
+
 CORR_NATIVE_FORMAT = "reart_tpu_corr_v1"
 
 

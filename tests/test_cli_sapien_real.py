@@ -442,3 +442,29 @@ def test_sapien_driver_with_flow_file(sapien_dir, tmp_path):
     ri = float([l for l in txt.splitlines()
                 if l.startswith("multi_scan_ri")][0].split(":")[1])
     assert ri > 0.6, txt
+
+
+@pytest.mark.slow
+def test_sapien_corr_flow_provider(sapien_dir, tmp_path):
+    """sapien with --flow_provider corr: the self-trained correspondence
+    backbone replaces the msync flow nets entirely (no external checkpoints,
+    no --flow_file) — a capability the reference does not have."""
+    ckpt_path = str(tmp_path / "corr_sapien.pkl")
+    out = cli_main([
+        "corr", "--data_domain", "sapien", "--sapien_base_folder", sapien_dir,
+        "--sapien_idx", "0", "--steps", "4", "--batch", "2",
+        "--train_points", "256", "--dispatch_chunk", "2",
+        "--save_path", ckpt_path,
+    ])
+    assert os.path.exists(ckpt_path) and np.isfinite(out["loss"])
+
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "sapien", "--sapien_base_folder", sapien_dir, "--sapien_idx", "0",
+        "--save_root", save_root, "--n_iter", "60", "--assign_iter", "1000",
+        "--use_flow_loss", "--flow_provider", "corr",
+        "--corr_model_path", ckpt_path, "--num_parts", "4",
+        "--start_tau", "1", "--end_tau", "0.5", "--snapshot_gap", "1000",
+    ])
+    txt = open(os.path.join(save_root, "0", "result.txt")).read()
+    assert "full_flow_epe" in txt

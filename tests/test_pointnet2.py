@@ -82,3 +82,61 @@ class TestPointNet2Parity:
         f = jax.jit(apply_pointnet2msg2)
         out = f(params, xyz)
         assert out.shape == (3, 520, 64)
+
+
+class TestTorchExport:
+    def test_export_loads_strict_and_matches(self, torch_model):
+        """export_torch_state_dict round-trip: our random-init tree ->
+        reference PointNet2Msg2.load_state_dict(strict=True) -> identical
+        features both ways (so a train/corr.py backbone flows BACK to
+        reference users)."""
+        from reart_tpu.models.pointnet2 import export_torch_state_dict
+
+        params = init_pointnet2msg2(jax.random.PRNGKey(5))
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in export_torch_state_dict(params).items()}
+        torch_model.load_state_dict(sd, strict=True)
+        torch_model.eval()
+
+        rng = np.random.RandomState(3)
+        xyz = rng.randn(2, 1024, 3).astype(np.float32) * 0.3
+        ours = np.asarray(apply_pointnet2msg2(params, jnp.asarray(xyz)))
+        with torch.no_grad():
+            ref = torch_model(torch.from_numpy(xyz).permute(0, 2, 1))
+        ref = ref.permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+    def test_export_import_identity(self):
+        """load_torch_state_dict(export_torch_state_dict(p)) == p."""
+        from reart_tpu.models.pointnet2 import (
+            export_torch_state_dict,
+            load_torch_state_dict,
+        )
+
+        params = init_pointnet2msg2(jax.random.PRNGKey(6))
+        back = load_torch_state_dict(export_torch_state_dict(params))
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(back)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_save_corr_model_torch_file(self, tmp_path):
+        """The torch-format file loads through BOTH load_corr_model (ours)
+        and a raw torch.load."""
+        import torch as _torch
+
+        from reart_tpu.models.pointnet2 import (
+            load_corr_model,
+            save_corr_model_torch,
+        )
+
+        params = init_pointnet2msg2(jax.random.PRNGKey(7))
+        path = str(tmp_path / "corr_model.pth.tar")
+        save_corr_model_torch(path, params)
+        loaded = load_corr_model(path)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        raw = _torch.load(path, map_location="cpu", weights_only=False)
+        assert "state_dict" in raw
