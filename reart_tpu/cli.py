@@ -322,12 +322,18 @@ def run_train_corr(args):
         k_parts=args.k_parts, max_angle=args.max_angle,
         temperature=args.temperature, lr=args.lr,
         dispatch_chunk=args.dispatch_chunk)
+    mesh = None
+    if len(jax.devices()) > 1 and args.batch % len(jax.devices()) == 0:
+        from reart_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # all devices on "seq": batch data parallel
+        print(f"data-parallel over {len(jax.devices())} devices")
     key = jax.random.PRNGKey(args.manual_seed)
     print(f"training corr backbone: {frames.shape[0]} frames x "
           f"{frames.shape[1]} pts, {cfg.steps} steps x batch {cfg.batch} "
           f"@ {cfg.n_points} pts")
     params, losses = train_corr(
-        key, frames, cfg,
+        key, frames, cfg, mesh=mesh,
         log_fn=lambda s, l: print(f"  step {s}/{cfg.steps} loss {l:.3f}",
                                   flush=True))
 

@@ -163,14 +163,28 @@ def corr_info_nce(params, src, tgt, temperature: float):
     return loss, stats
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _train_chunk(cfg: CorrTrainConfig, tx, params, opt_state, frames, keys):
-    """Scan cfg.dispatch_chunk steps in one device program."""
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _train_chunk(cfg: CorrTrainConfig, tx, mesh, params, opt_state, frames,
+                 keys):
+    """Scan cfg.dispatch_chunk steps in one device program.
+
+    With a mesh, the synthetic batch is sharded over the "seq" axis (pure
+    data parallel): the backbone runs SPMD per shard and XLA inserts the
+    gradient all-reduce — and because BatchNorm batch moments reduce over
+    every non-channel axis, the same propagation turns them into GLOBAL
+    (cross-device) means, so sharded training is semantics-identical to
+    single-device training."""
 
     def body(carry, key):
         params, opt_state = carry
         pair_keys = jax.random.split(key, cfg.batch)
         src, tgt = jax.vmap(lambda k: synth_pair(k, frames, cfg))(pair_keys)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("seq"))
+            src = jax.lax.with_sharding_constraint(src, sh)
+            tgt = jax.lax.with_sharding_constraint(tgt, sh)
         (loss, stats), grads = jax.value_and_grad(
             corr_info_nce, has_aux=True)(params, src, tgt, cfg.temperature)
         import optax
@@ -185,11 +199,13 @@ def _train_chunk(cfg: CorrTrainConfig, tx, params, opt_state, frames, keys):
 
 
 def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
-               params=None, log_fn=None):
+               params=None, log_fn=None, mesh=None):
     """Train the backbone on frames (F, N0, 3) (normalized — see synth_pair).
 
     Returns (params, losses (steps,)). The returned tree is inference-ready:
-    running BN stats carry the EMA of training batch moments.
+    running BN stats carry the EMA of training batch moments. Pass a
+    `jax.sharding.Mesh` with a "seq" axis to data-parallel the batch over
+    devices (semantics-identical — see _train_chunk).
     """
     import optax
 
@@ -200,12 +216,21 @@ def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
         frames = frames[: cfg.seed_frames]
     assert frames.shape[1] >= cfg.n_points, (
         f"frames have {frames.shape[1]} points, need >= {cfg.n_points}")
+    if mesh is not None:
+        assert cfg.batch % mesh.shape["seq"] == 0, (
+            f"batch {cfg.batch} not divisible by mesh seq={mesh.shape['seq']}")
 
     if params is None:
         key, init_key = jax.random.split(key)
         params = init_pointnet2msg2(init_key, out_dim=cfg.out_dim)
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        params, opt_state, frames = jax.device_put(
+            (params, opt_state, frames), repl)
 
     losses = []
     done = 0
@@ -217,7 +242,7 @@ def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
         params, opt_state, chunk_losses = _train_chunk(
             cfg if chunk == cfg.dispatch_chunk
             else dataclasses.replace(cfg, dispatch_chunk=chunk),
-            tx, params, opt_state, frames, step_keys)
+            tx, mesh, params, opt_state, frames, step_keys)
         losses.append(np.asarray(chunk_losses))
         done += chunk
         if log_fn is not None:

@@ -143,3 +143,33 @@ class TestSaveLoad:
         x = jax.random.normal(jax.random.PRNGKey(1), (1, 520, 3))
         y = apply_pointnet2msg2(loaded, x)
         assert y.shape == (1, 520, 64)
+
+
+class TestMeshParallel:
+    @pytest.mark.slow
+    def test_mesh_training_matches_single_device(self, frames):
+        """Batch-sharded training over the 8-device mesh is semantics-
+        identical to single-device training: gradient all-reduce AND the
+        BatchNorm batch moments (which reduce over every non-channel axis)
+        both come out global under sharding propagation."""
+        from reart_tpu.parallel import make_mesh
+
+        cfg = CorrTrainConfig(steps=2, batch=8, n_points=128,
+                              dispatch_chunk=2)
+        key = jax.random.PRNGKey(0)
+        p_single, l_single = train_corr(key, frames, cfg)
+        mesh = make_mesh(8)
+        p_mesh, l_mesh = train_corr(key, frames, cfg, mesh=mesh)
+        # the FIRST step's loss is a pure-forward probe of the sharded
+        # semantics (identical params): it must agree to float precision.
+        # Later steps drift by fp reduction order amplified through Adam's
+        # rsqrt — compare loosely.
+        # the FIRST loss is computed from identical params: it probes the
+        # sharded forward + global-BN semantics exactly. Step 2 (and the
+        # params after it) drift by fp reduction order amplified through
+        # Adam/ReLU/max-pool nonlinearities — only trajectory-level
+        # agreement is meaningful there.
+        np.testing.assert_allclose(l_mesh[0], l_single[0], rtol=1e-4)
+        np.testing.assert_allclose(l_mesh, l_single, rtol=0.05)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(p_mesh))
