@@ -53,13 +53,15 @@ def _corr_args(p: argparse.ArgumentParser):
     p.add_argument("--data_domain", default="robot",
                    choices=["robot", "real", "sapien"],
                    help="which dataset loader + normalization to use")
-    p.add_argument("--seq_path", default="data/robot/nao", type=str)
+    p.add_argument("--seq_path", default=["data/robot/nao"], type=str,
+                   nargs="+", help="one or more sequences (category-level "
+                                   "training pools their frames)")
     p.add_argument("--num_points", default=4096, type=int)
     p.add_argument("--cano_idx", default=0, type=int)
     p.add_argument("--normalize_file",
                    default="data/category_normalize_scale.pkl", type=str)
     p.add_argument("--sapien_base_folder", default="data/mbs-sapien", type=str)
-    p.add_argument("--sapien_idx", default=212, type=int)
+    p.add_argument("--sapien_idx", default=[212], type=int, nargs="+")
     p.add_argument("--save_path", default="corr_model.pkl", type=str)
     p.add_argument("--save_torch", default=None, type=str,
                    help="also export the torch-format checkpoint (loads into "
@@ -72,6 +74,9 @@ def _corr_args(p: argparse.ArgumentParser):
     p.add_argument("--max_angle", default=0.6, type=float)
     p.add_argument("--k_parts", default=8, type=int)
     p.add_argument("--dispatch_chunk", default=50, type=int)
+    p.add_argument("--bf16", action="store_true",
+                   help="backbone forward/backward in bfloat16 (MXU 2x rate; "
+                        "f32 master weights/optimizer/BN stats)")
 
 
 def _common_args(p: argparse.ArgumentParser, domain: str):
@@ -290,16 +295,52 @@ def setup_flow(args, domain: str, dataset, sample):
                               scale=scale, matching="smnn")
 
 
-def run_train_corr(args):
-    """`run.py corr`: self-train the correspondence backbone on a sequence's
-    own frames (train/corr.py) and save a --corr_model_path checkpoint.
+def _corr_training_frames(args):
+    """Collect (and normalize) training frames from one or MORE sequences —
+    the reference's corr model is category-level, so `run.py corr` accepts
+    several sequences (robot/real: --seq_path A B C; sapien: --sapien_idx
+    i j k) and pools their frames. Each sequence is normalized exactly as
+    setup_flow will normalize it at fit time."""
+    import copy
 
-    Frames are normalized EXACTLY as setup_flow will normalize them at fit
-    time (robot: category file, run_robot.py:72-77; real: dataset-local,
-    run_real.py:67), so the training distribution matches inference."""
     import jax.numpy as jnp
 
     from reart_tpu.flow import normalize_pc_list
+
+    blocks = []
+    if args.data_domain == "sapien":
+        dataset = load_dataset(args, "sapien")
+        for idx in args.sapien_idx:
+            sample = dataset[idx]
+            complete = np.asarray(sample["complete_pc_list"], np.float32)
+            centroid, scale = corr_normalization(args, "sapien", dataset,
+                                                 complete)
+            blocks.append(np.asarray(normalize_pc_list(
+                jnp.asarray(complete), jnp.asarray(centroid), scale)))
+    else:
+        for sp in args.seq_path:
+            sub = copy.copy(args)
+            sub.seq_path = sp
+            dataset = load_dataset(sub, args.data_domain)
+            complete = np.asarray(dataset[0]["complete_pc_list"], np.float32)
+            centroid, scale = corr_normalization(sub, args.data_domain,
+                                                 dataset, complete)
+            blocks.append(np.asarray(normalize_pc_list(
+                jnp.asarray(complete), jnp.asarray(centroid), scale)))
+    n_min = min(b.shape[1] for b in blocks)
+    rng = np.random.RandomState(args.manual_seed)
+    blocks = [b if b.shape[1] == n_min
+              else b[:, rng.choice(b.shape[1], n_min, replace=False)]
+              for b in blocks]
+    return np.concatenate(blocks, axis=0)
+
+
+def run_train_corr(args):
+    """`run.py corr`: self-train the correspondence backbone on the
+    sequences' own frames (train/corr.py) and save a --corr_model_path
+    checkpoint."""
+    import jax.numpy as jnp
+
     from reart_tpu.models.pointnet2 import save_corr_model
     from reart_tpu.train.corr import (
         CorrTrainConfig,
@@ -308,20 +349,15 @@ def run_train_corr(args):
         train_corr,
     )
 
-    dataset = load_dataset(args, args.data_domain)
-    sample = dataset[args.sapien_idx if args.data_domain == "sapien" else 0]
-    complete = np.asarray(sample["complete_pc_list"], np.float32)
-    centroid, scale = corr_normalization(args, args.data_domain, dataset,
-                                         complete)
-    frames = np.asarray(
-        normalize_pc_list(jnp.asarray(complete), jnp.asarray(centroid), scale))
+    frames = _corr_training_frames(args)
 
     cfg = CorrTrainConfig(
         steps=args.steps, batch=args.batch,
         n_points=min(args.train_points, frames.shape[1]),
         k_parts=args.k_parts, max_angle=args.max_angle,
         temperature=args.temperature, lr=args.lr,
-        dispatch_chunk=args.dispatch_chunk)
+        dispatch_chunk=args.dispatch_chunk,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
     mesh = None
     if len(jax.devices()) > 1 and args.batch % len(jax.devices()) == 0:
         from reart_tpu.parallel import make_mesh

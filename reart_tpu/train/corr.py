@@ -58,6 +58,10 @@ class CorrTrainConfig:
     dispatch_chunk: int = 50      # scan steps per device dispatch
     out_dim: int = 64             # feature width (reference head: 64)
     seed_frames: int = 0          # 0 = use all frames
+    # forward/backward compute dtype. "bfloat16" runs the backbone's matmuls
+    # on the MXU at 2x f32 rate with f32 master weights/optimizer/BN-EMA
+    # (logits + loss always f32). f32 default = bit-safe everywhere.
+    compute_dtype: str = "float32"
 
 
 def synth_pair(key, frames, cfg: CorrTrainConfig):
@@ -141,18 +145,30 @@ def apply_bn_ema(params, stats, momentum: float):
     return out
 
 
-def corr_info_nce(params, src, tgt, temperature: float):
+def corr_info_nce(params, src, tgt, temperature: float,
+                  compute_dtype: str = "float32"):
     """Bidirectional InfoNCE on identity-corresponding clouds.
 
     src/tgt: (B, N, 3). Returns (loss, bn_stats) — the backbone runs ONE
     batched pass over the 2B clouds so batch statistics are shared.
+
+    compute_dtype="bfloat16" casts weights+activations for the backbone pass
+    (MXU 2x rate); master weights stay f32 (autodiff casts grads back), BN
+    stats and the logits/CE are promoted to f32.
     """
     import optax
 
+    dt = jnp.dtype(compute_dtype)
     b, n = src.shape[0], src.shape[1]
     stats = []
-    feats = apply_pointnet2msg2(params, jnp.concatenate([src, tgt], 0),
+    cast_params = (params if dt == jnp.float32 else
+                   jax.tree_util.tree_map(lambda x: x.astype(dt), params))
+    both = jnp.concatenate([src, tgt], 0).astype(dt)
+    feats = apply_pointnet2msg2(cast_params, both,
                                 bn_mode="batch", stats_out=stats)
+    feats = feats.astype(jnp.float32)
+    stats = [(m.astype(jnp.float32), v.astype(jnp.float32))
+             for m, v in stats]
     feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
     f1, f2 = feats[:b], feats[b:]
     logits = jnp.einsum("bnd,bmd->bnm", f1, f2) / temperature  # (B, N, N)
@@ -186,7 +202,8 @@ def _train_chunk(cfg: CorrTrainConfig, tx, mesh, params, opt_state, frames,
             src = jax.lax.with_sharding_constraint(src, sh)
             tgt = jax.lax.with_sharding_constraint(tgt, sh)
         (loss, stats), grads = jax.value_and_grad(
-            corr_info_nce, has_aux=True)(params, src, tgt, cfg.temperature)
+            corr_info_nce, has_aux=True)(params, src, tgt, cfg.temperature,
+                                         cfg.compute_dtype)
         import optax
 
         updates, opt_state = tx.update(grads, opt_state, params)

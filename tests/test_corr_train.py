@@ -160,10 +160,6 @@ class TestMeshParallel:
         p_single, l_single = train_corr(key, frames, cfg)
         mesh = make_mesh(8)
         p_mesh, l_mesh = train_corr(key, frames, cfg, mesh=mesh)
-        # the FIRST step's loss is a pure-forward probe of the sharded
-        # semantics (identical params): it must agree to float precision.
-        # Later steps drift by fp reduction order amplified through Adam's
-        # rsqrt — compare loosely.
         # the FIRST loss is computed from identical params: it probes the
         # sharded forward + global-BN semantics exactly. Step 2 (and the
         # params after it) drift by fp reduction order amplified through
@@ -173,3 +169,20 @@ class TestMeshParallel:
         np.testing.assert_allclose(l_mesh, l_single, rtol=0.05)
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(p_mesh))
+
+
+class TestBF16:
+    def test_bf16_training_runs_and_tracks_f32(self, frames):
+        """compute_dtype='bfloat16': f32 master weights, bf16 backbone pass.
+        First-step loss lands near the f32 loss; training stays finite."""
+        cfg32 = CorrTrainConfig(steps=2, batch=2, n_points=128,
+                                dispatch_chunk=2)
+        cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+        key = jax.random.PRNGKey(0)
+        _, l32 = train_corr(key, frames, cfg32)
+        p16, l16 = train_corr(key, frames, cfg16)
+        assert np.isfinite(l16).all()
+        np.testing.assert_allclose(l16[0], l32[0], rtol=0.05)
+        # master weights stay f32
+        for leaf in jax.tree_util.tree_leaves(p16):
+            assert leaf.dtype == jnp.float32
