@@ -151,7 +151,39 @@ def roofline_kernels(cano, pc_list):
     return out
 
 
+def init_backend_or_die(timeout_s: float = 900.0):
+    """Initialize the jax backend under a watchdog. A dead/recovering axon
+    tunnel makes jax.devices() block INDEFINITELY (observed 2026-08-17:
+    multi-hour outage); without this guard the bench would hang instead of
+    reporting. The probe thread is a daemon — on timeout we report and exit
+    rather than leaving the driver stuck."""
+    import concurrent.futures
+    import json as _json
+
+    def probe():
+        import jax
+
+        return jax.devices()
+
+    import os
+
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    try:
+        return ex.submit(probe).result(timeout=timeout_s)
+    except Exception as e:  # timeout or backend init failure
+        print(_json.dumps({
+            "metric": "nao_relaxation_opt_throughput",
+            "value": 0.0, "unit": "iters/sec", "vs_baseline": 0.0,
+            "error": f"backend unavailable: {type(e).__name__}: {e}",
+        }))
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os._exit(1)  # daemon probe thread cannot be joined
+
+
 def main():
+    devices = init_backend_or_die()
+
     import jax
 
     from reart_tpu.train import FitConfig, FlowContext, fit_base
@@ -159,7 +191,7 @@ def main():
 
     cano, pc_list, complete = load_workload()
     t = complete.shape[0]
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {devices}")
 
     # flow supervision anchored on consecutive GT frames (same compute shape
     # as the corr-model anchors the reference blends every iteration)
