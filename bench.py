@@ -181,6 +181,57 @@ def init_backend_or_die(timeout_s: float = 900.0):
         os._exit(1)  # daemon probe thread cannot be joined
 
 
+def corr_training_bench(complete):
+    """Throughput of the self-supervised corr-backbone trainer (train/corr.py)
+    — the MXU-heavy counterpart to the VPU/bandwidth fit kernels. Reports
+    steady-state steps/sec and the XLA-estimated FLOPs per optimization step
+    (fwd+bwd through PointNet2Msg2 at (2*batch, n_points))."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from reart_tpu.train.corr import (
+        CorrTrainConfig,
+        corr_info_nce,
+        synth_pair,
+        train_corr,
+    )
+
+    frames = jnp.asarray(complete, jnp.float32)
+    cfg = CorrTrainConfig(steps=60, batch=4, n_points=1024,
+                          dispatch_chunk=20)
+
+    marks = []
+    key = jax.random.PRNGKey(0)
+    train_corr(key, frames, cfg,
+               log_fn=lambda s, l: marks.append((_time.perf_counter(), s)))
+    # chunk 1 includes compile; steady state = later chunks
+    (t1, s1), (t2, s2) = marks[-2], marks[-1]
+    steps_per_sec = (s2 - s1) / (t2 - t1)
+
+    flops = None
+    try:
+        from reart_tpu.models.pointnet2 import init_pointnet2msg2
+
+        params = init_pointnet2msg2(jax.random.PRNGKey(0))
+        src, tgt = jax.vmap(lambda k: synth_pair(k, frames, cfg))(
+            jax.random.split(key, cfg.batch))
+        step_fn = jax.jit(lambda p, s, t: jax.value_and_grad(
+            corr_info_nce, has_aux=True)(p, s, t, cfg.temperature))
+        cost = step_fn.lower(params, src, tgt).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:
+        log(f"corr cost_analysis unavailable: {e}")
+    out = {"steps_per_sec": round(steps_per_sec, 2)}
+    if flops:
+        out["flops_per_step"] = round(flops)
+        out["achieved_gflops"] = round(flops * steps_per_sec / 1e9, 1)
+    return out
+
+
 def main():
     devices = init_backend_or_die()
 
@@ -272,6 +323,10 @@ def main():
     kernels = roofline_kernels(cano, pc_list)
     log(f"kernels: {kernels}")
 
+    log("corr-trainer benchmark ...")
+    corr = corr_training_bench(complete)
+    log(f"corr trainer: {corr}")
+
     print(json.dumps({
         "metric": "nao_relaxation_opt_throughput",
         "value": round(iters_per_sec, 2),
@@ -279,6 +334,7 @@ def main():
         "vs_baseline": round(iters_per_sec / REFERENCE_CPU_ITERS_PER_SEC, 1),
         "device_ms": device_ms,
         "kernels": kernels,
+        "corr_trainer": corr,
         "hbm_gbps": kernels["auction_sweep"]["hbm_gbps"],
         "pct_peak_bw": kernels["auction_sweep"]["pct_peak_bw"],
     }))
