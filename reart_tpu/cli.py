@@ -379,6 +379,17 @@ def run_train_corr(args):
     print(f"final loss {losses[-1]:.3f}; held-out synthetic pair: "
           f"SMNN precision {prec:.3f}, match rate {rate:.3f}")
 
+    # matching stats on the user's REAL consecutive frames — the signal the
+    # fit will actually consume (no GT needed: just the SMNN valid fraction)
+    from reart_tpu.flow import compute_corr_masks
+    from reart_tpu.models.pointnet2 import apply_pointnet2msg2
+
+    _, valid = compute_corr_masks(
+        jnp.asarray(frames), lambda x: apply_pointnet2msg2(params, x))
+    real_rate = float(jnp.mean(valid.astype(jnp.float32)))
+    print(f"real frame pairs: SMNN match rate {real_rate:.3f} "
+          f"({frames.shape[0] - 1} consecutive pairs)")
+
     save_corr_model(args.save_path, params)
     if args.save_torch:
         from reart_tpu.models.pointnet2 import save_corr_model_torch
@@ -389,7 +400,7 @@ def run_train_corr(args):
     print(f"saved {args.save_path} (use: run.py {args.data_domain} "
           f"--flow_provider corr --corr_model_path {args.save_path})")
     return {"loss": float(losses[-1]), "precision": prec, "match_rate": rate,
-            "save_path": args.save_path}
+            "real_match_rate": real_rate, "save_path": args.save_path}
 
 
 def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
