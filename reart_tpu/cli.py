@@ -77,6 +77,11 @@ def _corr_args(p: argparse.ArgumentParser):
     p.add_argument("--bf16", action="store_true",
                    help="backbone forward/backward in bfloat16 (MXU 2x rate; "
                         "f32 master weights/optimizer/BN stats)")
+    p.add_argument("--train_checkpoint", default=None, type=str,
+                   help="mid-run checkpoint file: training resumes from it "
+                        "if it exists and atomically rewrites it as it goes "
+                        "(bit-identical to an uninterrupted run at fixed "
+                        "--dispatch_chunk)")
 
 
 def _common_args(p: argparse.ArgumentParser, domain: str):
@@ -370,6 +375,7 @@ def run_train_corr(args):
           f"@ {cfg.n_points} pts")
     params, losses = train_corr(
         key, frames, cfg, mesh=mesh,
+        checkpoint_path=args.train_checkpoint,
         log_fn=lambda s, l: print(f"  step {s}/{cfg.steps} loss {l:.3f}",
                                   flush=True))
 

@@ -62,6 +62,15 @@ class CorrTrainConfig:
     # on the MXU at 2x f32 rate with f32 master weights/optimizer/BN-EMA
     # (logits + loss always f32). f32 default = bit-safe everywhere.
     compute_dtype: str = "float32"
+    # mid-run checkpointing (the trainer-side counterpart of the fit
+    # engine's rewind-and-resume): dump params/opt_state/rng every this many
+    # dispatch chunks when train_corr gets a checkpoint_path
+    checkpoint_every: int = 10
+    # per-dispatch watchdog: a chunk (enqueue + fence) outliving this is a
+    # wedged-tunnel failure — the last checkpoint is already on disk, so the
+    # trainer raises instead of hanging forever. Must cover the first
+    # chunk's remote compile.
+    dispatch_timeout: float = 1800.0
 
 
 def synth_pair(key, frames, cfg: CorrTrainConfig):
@@ -215,14 +224,45 @@ def _train_chunk(cfg: CorrTrainConfig, tx, mesh, params, opt_state, frames,
     return params, opt_state, losses
 
 
+def _save_train_ckpt(path, params, opt_state, key, done, losses):
+    import pickle
+
+    host = jax.tree_util.tree_map(np.asarray, (params, opt_state, key))
+    with open(path + ".tmp", "wb") as f:
+        pickle.dump({"format": "reart_tpu_corr_train_v1",
+                     "state": host, "done": done,
+                     "losses": [np.asarray(x) for x in losses]}, f)
+    import os
+
+    os.replace(path + ".tmp", path)  # atomic: never a torn checkpoint
+
+
+def _load_train_ckpt(path):
+    import pickle
+
+    with open(path, "rb") as f:
+        obj = pickle.load(f)
+    assert obj.get("format") == "reart_tpu_corr_train_v1", path
+    params, opt_state, key = jax.tree_util.tree_map(jnp.asarray, obj["state"])
+    return params, opt_state, key, obj["done"], list(obj["losses"])
+
+
 def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
-               params=None, log_fn=None, mesh=None):
+               params=None, log_fn=None, mesh=None, checkpoint_path=None):
     """Train the backbone on frames (F, N0, 3) (normalized — see synth_pair).
 
     Returns (params, losses (steps,)). The returned tree is inference-ready:
     running BN stats carry the EMA of training batch moments. Pass a
     `jax.sharding.Mesh` with a "seq" axis to data-parallel the batch over
     devices (semantics-identical — see _train_chunk).
+
+    checkpoint_path: mid-run resume. If the file exists, training continues
+    from it (bit-identical to an uninterrupted run as long as
+    dispatch_chunk is unchanged — the RNG stream is chunk-keyed); every
+    cfg.checkpoint_every chunks the state is atomically rewritten. Each
+    dispatch runs under cfg.dispatch_timeout: a chunk that outlives it
+    (wedged tunnel) raises instead of hanging, with the last checkpoint
+    already on disk.
     """
     import optax
 
@@ -237,11 +277,21 @@ def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
         assert cfg.batch % mesh.shape["seq"] == 0, (
             f"batch {cfg.batch} not divisible by mesh seq={mesh.shape['seq']}")
 
-    if params is None:
-        key, init_key = jax.random.split(key)
-        params = init_pointnet2msg2(init_key, out_dim=cfg.out_dim)
-    tx = optax.adam(cfg.lr)
-    opt_state = tx.init(params)
+    import os
+
+    tx = optax.adam(cfg.lr)  # pure functions of (lr): safe to rebuild on resume
+    losses = []
+    done = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        params, opt_state, key, done, losses = _load_train_ckpt(
+            checkpoint_path)
+        if log_fn is not None:
+            log_fn(done, float(losses[-1][-1]) if losses else float("nan"))
+    else:
+        if params is None:
+            key, init_key = jax.random.split(key)
+            params = init_pointnet2msg2(init_key, out_dim=cfg.out_dim)
+        opt_state = tx.init(params)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -249,21 +299,42 @@ def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
         params, opt_state, frames = jax.device_put(
             (params, opt_state, frames), repl)
 
-    losses = []
-    done = 0
-    while done < cfg.steps:
-        chunk = min(cfg.dispatch_chunk, cfg.steps - done)
-        key, sub = jax.random.split(key)
-        step_keys = jax.random.split(sub, chunk)
-        # re-jit only when the chunk length changes (the tail chunk)
-        params, opt_state, chunk_losses = _train_chunk(
-            cfg if chunk == cfg.dispatch_chunk
-            else dataclasses.replace(cfg, dispatch_chunk=chunk),
-            tx, mesh, params, opt_state, frames, step_keys)
-        losses.append(np.asarray(chunk_losses))
-        done += chunk
-        if log_fn is not None:
-            log_fn(done, float(losses[-1][-1]))
+    import concurrent.futures
+
+    pool = concurrent.futures.ThreadPoolExecutor(1)
+    chunks_since_ckpt = 0
+    try:
+        while done < cfg.steps:
+            chunk = min(cfg.dispatch_chunk, cfg.steps - done)
+            key, sub = jax.random.split(key)
+            step_keys = jax.random.split(sub, chunk)
+            # re-jit only when the chunk length changes (the tail chunk)
+            chunk_cfg = (cfg if chunk == cfg.dispatch_chunk
+                         else dataclasses.replace(cfg, dispatch_chunk=chunk))
+            fut = pool.submit(_train_chunk, chunk_cfg, tx, mesh, params,
+                              opt_state, frames, step_keys)
+            try:
+                params, opt_state, chunk_losses = fut.result(
+                    timeout=cfg.dispatch_timeout)
+                chunk_losses = np.asarray(chunk_losses)  # completion fence
+            except concurrent.futures.TimeoutError:
+                raise RuntimeError(
+                    f"corr training dispatch exceeded "
+                    f"{cfg.dispatch_timeout:.0f}s at step {done} — wedged "
+                    f"tunnel/device? last checkpoint: "
+                    f"{checkpoint_path or 'none (pass checkpoint_path)'}")
+            losses.append(chunk_losses)
+            done += chunk
+            chunks_since_ckpt += 1
+            if checkpoint_path and (chunks_since_ckpt >= cfg.checkpoint_every
+                                    or done >= cfg.steps):
+                _save_train_ckpt(checkpoint_path, params, opt_state, key,
+                                 done, losses)
+                chunks_since_ckpt = 0
+            if log_fn is not None:
+                log_fn(done, float(losses[-1][-1]))
+    finally:
+        pool.shutdown(wait=False)
     return params, np.concatenate(losses)
 
 

@@ -186,3 +186,29 @@ class TestBF16:
         # master weights stay f32
         for leaf in jax.tree_util.tree_leaves(p16):
             assert leaf.dtype == jnp.float32
+
+
+class TestCheckpointResume:
+    def test_resume_is_bit_identical(self, frames, tmp_path):
+        """4 steps + resume to 8 == uninterrupted 8 (chunk-keyed RNG)."""
+        ckpt = str(tmp_path / "train.ckpt")
+        cfg4 = CorrTrainConfig(steps=4, batch=2, n_points=128,
+                               dispatch_chunk=2, checkpoint_every=1)
+        cfg8 = dataclasses.replace(cfg4, steps=8)
+        key = jax.random.PRNGKey(0)
+        p_full, l_full = train_corr(key, frames, cfg8)
+
+        train_corr(key, frames, cfg4, checkpoint_path=ckpt)
+        p_res, l_res = train_corr(key, frames, cfg8, checkpoint_path=ckpt)
+        assert l_res.shape == (8,)
+        np.testing.assert_array_equal(l_res, l_full)
+        for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                        jax.tree_util.tree_leaves(p_res)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_dispatch_watchdog_raises(self, frames, tmp_path):
+        cfg = CorrTrainConfig(steps=2, batch=2, n_points=128,
+                              dispatch_chunk=2, dispatch_timeout=1e-4)
+        with pytest.raises(RuntimeError, match="wedged"):
+            train_corr(jax.random.PRNGKey(0), frames, cfg,
+                       checkpoint_path=str(tmp_path / "t.ckpt"))
