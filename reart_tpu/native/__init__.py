@@ -17,9 +17,29 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = ["lap.cpp"]
 _LIB_PATH = os.path.join(_HERE, "libreart_native.so")
+_HOST_TAG_PATH = _LIB_PATH + ".host"
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
+
+
+def _host_tag() -> str:
+    """CPU-feature fingerprint. -march=native code is only valid on the CPU
+    that built it, and THIS environment's VM live-migrates between hosts with
+    different feature sets (observed 2026-08-18: XLA AOT-cache machine-feature
+    mismatch after a migration) — so the .so is rebuilt whenever the visible
+    flags change, not just when the sources do."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:16]
+    except Exception:
+        pass
+    return "unknown"
 
 
 def _build() -> bool:
@@ -33,6 +53,8 @@ def _build() -> bool:
         try:
             subprocess.run(["g++", *opt, *base], check=True,
                            capture_output=True, timeout=240)
+            with open(_HOST_TAG_PATH, "w") as f:
+                f.write(_host_tag())
             return True
         except Exception:
             continue
@@ -41,6 +63,12 @@ def _build() -> bool:
 
 def _stale() -> bool:
     if not os.path.exists(_LIB_PATH):
+        return True
+    try:
+        with open(_HOST_TAG_PATH) as f:
+            if f.read().strip() != _host_tag():
+                return True  # built on a different CPU (VM migration)
+    except OSError:
         return True
     lib_mtime = os.path.getmtime(_LIB_PATH)
     return any(
