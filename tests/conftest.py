@@ -6,6 +6,19 @@ real-TPU benchmarking happens in bench.py, not the test suite.
 
 import os
 
+# XLA:CPU leaks ~3 tiny mmaps per loaded executable; a full-suite process
+# accumulates >60k maps and SEGFAULTS inside LLVM when it crosses
+# vm.max_map_count (default 65530) — measured 2026-08-18 (deterministic
+# crash at test #145). Raise the limit when we can (root); harmless no-op
+# otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1_048_576:
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write("1048576")
+except OSError:
+    pass
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
