@@ -337,7 +337,7 @@ def _corr_training_frames(args):
     blocks = [b if b.shape[1] == n_min
               else b[:, rng.choice(b.shape[1], n_min, replace=False)]
               for b in blocks]
-    return np.concatenate(blocks, axis=0)
+    return np.concatenate(blocks, axis=0), [b.shape[0] for b in blocks]
 
 
 def run_train_corr(args):
@@ -354,7 +354,7 @@ def run_train_corr(args):
         train_corr,
     )
 
-    frames = _corr_training_frames(args)
+    frames, block_sizes = _corr_training_frames(args)
 
     cfg = CorrTrainConfig(
         steps=args.steps, batch=args.batch,
@@ -379,22 +379,36 @@ def run_train_corr(args):
         log_fn=lambda s, l: print(f"  step {s}/{cfg.steps} loss {l:.3f}",
                                   flush=True))
 
-    # held-out synthetic pair through the INFERENCE path (running BN + SMNN)
-    src, tgt = synth_pair(jax.random.PRNGKey(10_007), jnp.asarray(frames), cfg)
-    prec, rate = match_precision(params, src, tgt)
-    print(f"final loss {losses[-1]:.3f}; held-out synthetic pair: "
-          f"SMNN precision {prec:.3f}, match rate {rate:.3f}")
-
-    # matching stats on the user's REAL consecutive frames — the signal the
-    # fit will actually consume (no GT needed: just the SMNN valid fraction)
+    # post-training evaluation: one-off metrics at new shapes — run on the
+    # host backend with host-committed params (CLAUDE.md: post-fit work
+    # recompiles remotely per run otherwise, unwatchdogged)
     from reart_tpu.flow import compute_corr_masks
+    from reart_tpu.hostops import on_host, to_host
     from reart_tpu.models.pointnet2 import apply_pointnet2msg2
 
-    _, valid = compute_corr_masks(
-        jnp.asarray(frames), lambda x: apply_pointnet2msg2(params, x))
-    real_rate = float(jnp.mean(valid.astype(jnp.float32)))
+    params_h = to_host(params)
+    with on_host():
+        # held-out synthetic pair through the INFERENCE path (running BN
+        # + SMNN)
+        src, tgt = synth_pair(jax.random.PRNGKey(10_007),
+                              jnp.asarray(frames), cfg)
+        prec, rate = match_precision(params_h, src, tgt)
+        print(f"final loss {losses[-1]:.3f}; held-out synthetic pair: "
+              f"SMNN precision {prec:.3f}, match rate {rate:.3f}")
+
+        # matching stats on the user's REAL consecutive frames — the signal
+        # the fit will consume (no GT needed: the SMNN valid fraction).
+        # Pooled multi-sequence frames are one concatenated array: pairs
+        # that straddle a sequence boundary are unrelated clouds, so drop
+        # those rows from the stat.
+        _, valid = compute_corr_masks(
+            jnp.asarray(frames), lambda x: apply_pointnet2msg2(params_h, x))
+        valid = np.asarray(valid)
+    boundaries = set(np.cumsum(block_sizes)[:-1] - 1)  # pair t = (t, t+1)
+    keep = [t for t in range(valid.shape[0]) if t not in boundaries]
+    real_rate = float(valid[keep].mean()) if keep else float("nan")
     print(f"real frame pairs: SMNN match rate {real_rate:.3f} "
-          f"({frames.shape[0] - 1} consecutive pairs)")
+          f"({len(keep)} consecutive pairs)")
 
     save_corr_model(args.save_path, params)
     if args.save_torch:

@@ -299,42 +299,48 @@ def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
         params, opt_state, frames = jax.device_put(
             (params, opt_state, frames), repl)
 
-    import concurrent.futures
+    from reart_tpu.train.engine import _call_with_watchdog
 
-    pool = concurrent.futures.ThreadPoolExecutor(1)
     chunks_since_ckpt = 0
-    try:
-        while done < cfg.steps:
-            chunk = min(cfg.dispatch_chunk, cfg.steps - done)
-            key, sub = jax.random.split(key)
-            step_keys = jax.random.split(sub, chunk)
-            # re-jit only when the chunk length changes (the tail chunk)
-            chunk_cfg = (cfg if chunk == cfg.dispatch_chunk
-                         else dataclasses.replace(cfg, dispatch_chunk=chunk))
-            fut = pool.submit(_train_chunk, chunk_cfg, tx, mesh, params,
-                              opt_state, frames, step_keys)
-            try:
-                params, opt_state, chunk_losses = fut.result(
-                    timeout=cfg.dispatch_timeout)
-                chunk_losses = np.asarray(chunk_losses)  # completion fence
-            except concurrent.futures.TimeoutError:
-                raise RuntimeError(
-                    f"corr training dispatch exceeded "
-                    f"{cfg.dispatch_timeout:.0f}s at step {done} — wedged "
-                    f"tunnel/device? last checkpoint: "
-                    f"{checkpoint_path or 'none (pass checkpoint_path)'}")
-            losses.append(chunk_losses)
-            done += chunk
-            chunks_since_ckpt += 1
-            if checkpoint_path and (chunks_since_ckpt >= cfg.checkpoint_every
-                                    or done >= cfg.steps):
-                _save_train_ckpt(checkpoint_path, params, opt_state, key,
-                                 done, losses)
-                chunks_since_ckpt = 0
-            if log_fn is not None:
-                log_fn(done, float(losses[-1][-1]))
-    finally:
-        pool.shutdown(wait=False)
+    while done < cfg.steps:
+        chunk = min(cfg.dispatch_chunk, cfg.steps - done)
+        key, sub = jax.random.split(key)
+        step_keys = jax.random.split(sub, chunk)
+        # re-jit only when the chunk length changes (the tail chunk)
+        chunk_cfg = (cfg if chunk == cfg.dispatch_chunk
+                     else dataclasses.replace(cfg, dispatch_chunk=chunk))
+
+        def run_chunk():
+            p, o, l = _train_chunk(chunk_cfg, tx, mesh, params, opt_state,
+                                   frames, step_keys)
+            # the host transfer is the completion fence (the only reliable
+            # one on axon) — it MUST run inside the watchdogged callable:
+            # jit returns right after enqueue, so timing only the dispatch
+            # would let a wedged execution hang the main thread instead
+            return p, o, np.asarray(l)
+
+        try:
+            # daemon watchdog thread (engine.py pattern): on expiry the
+            # stuck worker is abandoned, not joined — interpreter shutdown
+            # doesn't block on it
+            params, opt_state, chunk_losses = _call_with_watchdog(
+                run_chunk, cfg.dispatch_timeout)
+        except TimeoutError:
+            raise RuntimeError(
+                f"corr training dispatch exceeded "
+                f"{cfg.dispatch_timeout:.0f}s at step {done} — wedged "
+                f"tunnel/device? last checkpoint: "
+                f"{checkpoint_path or 'none (pass checkpoint_path)'}")
+        losses.append(chunk_losses)
+        done += chunk
+        chunks_since_ckpt += 1
+        if checkpoint_path and (chunks_since_ckpt >= cfg.checkpoint_every
+                                or done >= cfg.steps):
+            _save_train_ckpt(checkpoint_path, params, opt_state, key,
+                             done, losses)
+            chunks_since_ckpt = 0
+        if log_fn is not None:
+            log_fn(done, float(losses[-1][-1]))
     return params, np.concatenate(losses)
 
 

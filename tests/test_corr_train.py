@@ -206,9 +206,27 @@ class TestCheckpointResume:
                         jax.tree_util.tree_leaves(p_res)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_dispatch_watchdog_raises(self, frames, tmp_path):
+    def test_dispatch_watchdog_raises(self, frames, tmp_path, monkeypatch):
+        """Inject the hang at the python level (the engine-test pattern):
+        abandoning a thread stuck inside a REAL XLA compile aborts the
+        process at teardown (pthread C++ unwind), so the fake chunk blocks
+        on an Event we release after the assertion."""
+        import threading
+
+        import reart_tpu.train.corr as corr_mod
+
+        release = threading.Event()
+
+        def hanging_chunk(*a, **k):
+            release.wait()
+            raise AssertionError("released hang must not produce results")
+
+        monkeypatch.setattr(corr_mod, "_train_chunk", hanging_chunk)
         cfg = CorrTrainConfig(steps=2, batch=2, n_points=128,
-                              dispatch_chunk=2, dispatch_timeout=1e-4)
-        with pytest.raises(RuntimeError, match="wedged"):
-            train_corr(jax.random.PRNGKey(0), frames, cfg,
-                       checkpoint_path=str(tmp_path / "t.ckpt"))
+                              dispatch_chunk=2, dispatch_timeout=0.2)
+        try:
+            with pytest.raises(RuntimeError, match="wedged"):
+                train_corr(jax.random.PRNGKey(0), frames, cfg,
+                           checkpoint_path=str(tmp_path / "t.ckpt"))
+        finally:
+            release.set()  # let the abandoned daemon thread exit cleanly
