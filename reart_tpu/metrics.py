@@ -13,7 +13,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from reart_tpu.losses import group_temporal_err
-from reart_tpu.ops.assignment import assignment_cost
 from reart_tpu.ops.distance import nearest_neighbor, pairwise_sqdist
 
 
