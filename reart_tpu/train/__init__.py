@@ -18,3 +18,8 @@ from reart_tpu.train.engine import (
     fit_base,
     fit_kinematic,
 )
+from reart_tpu.train.corr import (
+    CorrTrainConfig,
+    train_corr,
+    match_precision,
+)
