@@ -106,6 +106,67 @@ def _nn_points_pallas_bwd(res, cts):
 _nn_points_pallas.defvjp(_nn_points_pallas_fwd, _nn_points_pallas_bwd)
 
 
+@jax.custom_vjp
+def _nn_points_bidir_pallas(src: jnp.ndarray, tgt: jnp.ndarray):
+    """Bidirectional per-point NN squared distances + (non-diff) indices in
+    ONE fused kernel pass: the (TN, M) distance tile is computed once and
+    reduced along both axes (pallas_nn.nn1_bidir_coords_pallas), where the
+    two-call path recomputes it per direction.
+
+    src/tgt (B, N|M, 3) -> (d_fwd (B, N), idx_fwd, d_bwd (B, M), idx_bwd).
+    Gradients flow to both clouds exactly as in the two-call path: direct
+    residuals for the query side of each direction, matching scatter-adds
+    for the ref side (DCE'd by XLA when that cloud is a constant)."""
+    from reart_tpu.ops.pallas_nn import nn1_bidir_coords_pallas
+
+    fd, fi, _, bd, bi, _ = nn1_bidir_coords_pallas(src, tgt)
+    return fd, fi, bd, bi
+
+
+def _nn_points_bidir_fwd(src, tgt):
+    from reart_tpu.ops.pallas_nn import nn1_bidir_coords_pallas
+
+    fd, fi, fc, bd, bi, bc = nn1_bidir_coords_pallas(src, tgt)
+    return (fd, fi, bd, bi), (src, tgt, fc, bc, fi, bi)
+
+
+def _nn_points_bidir_bwd(res, cts):
+    src, tgt, fc, bc, fi, bi = res
+    gf, _, gb, _ = cts  # index cotangents are float0
+    resid_f = 2.0 * gf[..., None] * (src - fc)  # (B, N, 3)
+    resid_b = 2.0 * gb[..., None] * (tgt - bc)  # (B, M, 3)
+    grad_src = resid_f + jax.vmap(
+        lambda i, r, n: jnp.zeros((n, 3), r.dtype).at[i].add(r),
+        in_axes=(0, 0, None),
+    )(bi, -resid_b, src.shape[-2])
+    grad_tgt = resid_b + jax.vmap(
+        lambda i, r, n: jnp.zeros((n, 3), r.dtype).at[i].add(r),
+        in_axes=(0, 0, None),
+    )(fi, -resid_f, tgt.shape[-2])
+    return grad_src, grad_tgt
+
+
+_nn_points_bidir_pallas.defvjp(_nn_points_bidir_fwd, _nn_points_bidir_bwd)
+
+
+def _nn_bidir_sqdist_with_idx(src: jnp.ndarray, tgt: jnp.ndarray):
+    """((d_fwd, idx_fwd), (d_bwd, idx_bwd)) of the bidirectional NN,
+    differentiable in both clouds; fused single-pass kernel on TPU."""
+    from reart_tpu.ops.pallas_nn import use_pallas
+
+    if (src.shape[-1] == 3 and tgt.shape[-1] == 3
+            and src.shape[:-2] == tgt.shape[:-2]
+            and use_pallas(src.shape, tgt.shape)
+            and use_pallas(tgt.shape, src.shape)):
+        batch = src.shape[:-2]
+        fd, fi, bd, bi = _nn_points_bidir_pallas(
+            src.reshape((-1,) + src.shape[-2:]),
+            tgt.reshape((-1,) + tgt.shape[-2:]))
+        rs = lambda x: x.reshape(batch + x.shape[-1:])
+        return (rs(fd), rs(fi)), (rs(bd), rs(bi))
+    return _nn_sqdist_with_idx(src, tgt), _nn_sqdist_with_idx(tgt, src)
+
+
 def _nn_sqdist_with_idx(src: jnp.ndarray, tgt: jnp.ndarray):
     """(d (..., N), idx (..., N)) of each src point to its nearest tgt point,
     differentiable in both clouds; kernel path avoids gathers entirely."""
@@ -142,10 +203,12 @@ def chamfer(
         N == M — true throughout the pipeline)
       * return_index: additionally the NN indices (fwd[, bwd]).
     """
-    if not reverse or bidirectional:
-        d_fwd, idx_fwd = _nn_sqdist_with_idx(src, tgt)
-    if bidirectional or reverse:
+    if bidirectional:
+        (d_fwd, idx_fwd), (d_bwd, idx_bwd) = _nn_bidir_sqdist_with_idx(src, tgt)
+    elif reverse:
         d_bwd, idx_bwd = _nn_sqdist_with_idx(tgt, src)
+    else:
+        d_fwd, idx_fwd = _nn_sqdist_with_idx(src, tgt)
     if bidirectional:
         if return_index:
             return d_fwd + d_bwd, idx_fwd, idx_bwd
@@ -158,8 +221,10 @@ def chamfer(
 def chamfer_loss(src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
     """Summed bidirectional Chamfer: the reference's recon_loss
     (networks/loss.py:24-29 — chamfer(bidirectional) then torch.sum).
-    Summed form works for N != M too (sum(fwd + bwd) == sum(fwd) + sum(bwd))."""
-    return jnp.sum(chamfer(src, tgt)) + jnp.sum(chamfer(src, tgt, reverse=True))
+    Summed form works for N != M too (sum(fwd + bwd) == sum(fwd) + sum(bwd));
+    both directions come from ONE fused kernel pass on TPU."""
+    (d_fwd, _), (d_bwd, _) = _nn_bidir_sqdist_with_idx(src, tgt)
+    return jnp.sum(d_fwd) + jnp.sum(d_bwd)
 
 
 def knn_transfer_labels(query_pc: jnp.ndarray, src_pc: jnp.ndarray,

@@ -371,6 +371,129 @@ def nn1_coords_pallas(query: jnp.ndarray, ref: jnp.ndarray):
     return (jnp.clip(d[:, 0, :n], min=0.0), i[:, 0, :n], c[:, :n])
 
 
+def _nn1c_bidir_kernel(q_ref, r_ref, fd_ref, fi_ref, fc_ref,
+                       bd_ref, bi_ref, bc_ref):
+    """Fused bidirectional 1-NN with gathered COORDS both ways: each
+    (TN, M) distance tile is computed once and reduced along BOTH axes.
+
+    One-tile-M design (grid (B, N/TN), the whole ref cloud resident in
+    VMEM): the earlier TILE_M=1024 bidirectional kernel (_bidir_kernel)
+    LOST to two single-direction kernels because its reverse accumulation
+    ran through pl.ds scratch slices every (i, j) step; with M in one tile
+    the reverse outputs are whole-block where-merges across i only — the
+    same revisited-accumulator pattern the fast forward kernels use.
+
+    Forward (1, 1, TN)/(1, TN, 3) blocks are per-i. Reverse (1, 1, M)/
+    (1, M, 3) blocks ignore i and accumulate a running min across row
+    tiles; ties go to the lower src row (strict < keeps earlier tiles)."""
+    i = pl.program_id(1)
+    q = q_ref[0]  # (TN, 3)
+    r = r_ref[0]  # (M, 3)
+    tn, tm = q.shape[0], r.shape[0]
+
+    d = jnp.zeros((tn, tm), jnp.float32)
+    for c in range(3):
+        diff = q[:, c:c + 1] - r[:, c].reshape(1, -1)
+        d = d + diff * diff
+
+    int_max = jnp.iinfo(jnp.int32).max
+
+    # ---- forward: row minima + tgt winner coords (per-i output block) ----
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+    row_min = jnp.min(d, axis=1)                       # (TN,)
+    row_arg = jnp.min(
+        jnp.where(d == row_min[:, None], cols, int_max), axis=1)
+    fsel = cols == row_arg[:, None]
+    fd_ref[0, 0] = row_min
+    fi_ref[0, 0] = row_arg
+    fc_ref[0] = jnp.stack(
+        [jnp.sum(jnp.where(fsel, r[:, c].reshape(1, -1), 0.0), axis=1)
+         for c in range(3)], axis=1)                   # (TN, 3)
+
+    # ---- reverse: column minima + src winner coords, merged across i -----
+    # coords are CHANNEL-MAJOR (3, M): a (M, 3) block would pad its 3-wide
+    # lane dim to 128 (42x the lanes) and this block is rewritten every
+    # row-tile step
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 0)
+    col_min = jnp.min(d, axis=0)                       # (M,)
+    col_arg_local = jnp.min(
+        jnp.where(d == col_min[None, :], rows, int_max), axis=0)
+    bsel = rows == col_arg_local[None, :]
+    col_coords = jnp.stack(
+        [jnp.sum(jnp.where(bsel, q[:, c:c + 1], 0.0), axis=0)
+         for c in range(3)], axis=0)                   # (3, M)
+    col_arg = col_arg_local + i * tn
+
+    @pl.when(i == 0)
+    def _():
+        bd_ref[0, 0] = col_min
+        bi_ref[0, 0] = col_arg
+        bc_ref[0] = col_coords
+
+    @pl.when(i > 0)
+    def _():
+        better = col_min < bd_ref[0, 0]
+        bd_ref[0, 0] = jnp.where(better, col_min, bd_ref[0, 0])
+        bi_ref[0, 0] = jnp.where(better, col_arg, bi_ref[0, 0])
+        bc_ref[0] = jnp.where(better[None, :], col_coords, bc_ref[0])
+
+
+@jax.jit
+def nn1_bidir_coords_pallas(src: jnp.ndarray, tgt: jnp.ndarray):
+    """Fused bidirectional 1-NN with neighbor coords.
+
+    src (B, N, 3), tgt (B, M, 3), M <= MAX_TILE_M ->
+    (fwd_sqdist (B, N), fwd_idx, fwd_coords (B, N, 3),
+     bwd_sqdist (B, M), bwd_idx, bwd_coords (B, M, 3)).
+    Ties to the lowest index in both directions."""
+    src = src.astype(jnp.float32)
+    tgt = tgt.astype(jnp.float32)
+    b = src.shape[0]
+    tile_m = _pick_tile_m(tgt.shape[1])
+    qp, n = _pad_points(src, TILE_N)
+    rp, m = _pad_points(tgt, tile_m)
+    np_, mp = qp.shape[1], rp.shape[1]
+
+    grid = (b, np_ // TILE_N)
+    fd, fi, fc, bd, bi, bc = pl.pallas_call(
+        _nn1c_bidir_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE_N, 3), lambda bi_, i: (bi_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, 3), lambda bi_, i: (bi_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TILE_N), lambda bi_, i: (bi_, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_N), lambda bi_, i: (bi_, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N, 3), lambda bi_, i: (bi_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mp), lambda bi_, i: (bi_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mp), lambda bi_, i: (bi_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, mp), lambda bi_, i: (bi_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),
+            jax.ShapeDtypeStruct((b, np_, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, mp), jnp.int32),
+            jax.ShapeDtypeStruct((b, 3, mp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=BLEND_VMEM_LIMIT),
+    )(qp, rp)
+    return (jnp.clip(fd[:, 0, :n], min=0.0), fi[:, 0, :n], fc[:, :n],
+            jnp.clip(bd[:, 0, :m], min=0.0), bi[:, 0, :m],
+            jnp.moveaxis(bc, 1, 2)[:, :m])
+
+
 def _blend3_kernel(q_ref, r_ref, f_ref, out_ref, md_ref, fd_ref):
     """Fused 3-NN inverse-distance flow blending: distance tile + 3-smallest
     + weighted one-hot gather as ONE MXU matmul, all in VMEM.

@@ -211,3 +211,80 @@ def test_fps_kernel_matches_jnp_loop():
     with pltpu.force_tpu_interpret_mode():
         got_m = fps_pallas(xyz, mask, 32)
     np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+
+
+def test_nn1_bidir_coords_matches_oracle():
+    """Fused bidirectional coords kernel == brute force in both directions
+    (values, first-min indices, gathered winner coords); N spans two row
+    tiles so the reverse-direction cross-tile merge is exercised."""
+    from reart_tpu.ops.pallas_nn import nn1_bidir_coords_pallas
+
+    rng = np.random.RandomState(8)
+    q = jnp.asarray(rng.randn(2, TILE_N + 60, 3).astype(np.float32))
+    r = jnp.asarray(rng.randn(2, 133, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        fd, fi, fc, bd, bi, bc = nn1_bidir_coords_pallas(q, r)
+    for b in range(2):
+        dm = ((np.asarray(q[b])[:, None] - np.asarray(r[b])[None]) ** 2).sum(-1)
+        ref_fi, ref_bi = dm.argmin(1), dm.argmin(0)
+        np.testing.assert_array_equal(np.asarray(fi[b]), ref_fi)
+        np.testing.assert_array_equal(np.asarray(bi[b]), ref_bi)
+        np.testing.assert_allclose(np.asarray(fd[b]), dm.min(1), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bd[b]), dm.min(0), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fc[b]),
+                                   np.asarray(r[b])[ref_fi], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(bc[b]),
+                                   np.asarray(q[b])[ref_bi], rtol=1e-6)
+
+
+def test_nn1_bidir_ties_to_lower_index():
+    """All-identical clouds: every match must resolve to index 0 in BOTH
+    directions, including across row tiles (strict < keeps earlier tiles)."""
+    from reart_tpu.ops.pallas_nn import nn1_bidir_coords_pallas
+
+    src = jnp.zeros((1, TILE_N * 2, 3))
+    tgt = jnp.zeros((1, 200, 3))
+    with pltpu.force_tpu_interpret_mode():
+        _, fi, _, _, bi, _ = nn1_bidir_coords_pallas(src, tgt)
+    assert int(fi.max()) == 0 and int(bi.max()) == 0
+
+
+def test_nn_points_bidir_vjp_grads_match_gather_path():
+    """Gradients of the fused bidirectional chamfer path == gradients of the
+    two-direction gather-recompute formulation, for BOTH clouds."""
+    from reart_tpu.ops.distance import (
+        _gathered_sqdist,
+        _nn_points_bidir_pallas,
+        nearest_neighbor,
+    )
+
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    r = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32))
+
+    def loss_kernel(q, r):
+        fd, _, bd, _ = _nn_points_bidir_pallas(q, r)
+        wf = jnp.arange(fd.shape[-1], dtype=jnp.float32)
+        wb = 1.0 + jnp.arange(bd.shape[-1], dtype=jnp.float32)
+        return jnp.sum(fd * wf) + jnp.sum(bd * wb)
+
+    def loss_gather(q, r):
+        _, fi = nearest_neighbor(jax.lax.stop_gradient(q),
+                                 jax.lax.stop_gradient(r))
+        _, bi = nearest_neighbor(jax.lax.stop_gradient(r),
+                                 jax.lax.stop_gradient(q))
+        fd = _gathered_sqdist(q, r, fi)
+        bd = _gathered_sqdist(r, q, bi)
+        wf = jnp.arange(fd.shape[-1], dtype=jnp.float32)
+        wb = 1.0 + jnp.arange(bd.shape[-1], dtype=jnp.float32)
+        return jnp.sum(fd * wf) + jnp.sum(bd * wb)
+
+    with pltpu.force_tpu_interpret_mode():
+        gq_k, gr_k = jax.grad(loss_kernel, argnums=(0, 1))(q, r)
+    gq_g, gr_g = jax.grad(loss_gather, argnums=(0, 1))(q, r)
+    np.testing.assert_allclose(np.asarray(gq_k), np.asarray(gq_g),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr_k), np.asarray(gr_g),
+                               rtol=1e-4, atol=1e-5)
