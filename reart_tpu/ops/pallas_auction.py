@@ -191,15 +191,27 @@ RESIDENT_MAX_ELEMS = 1024 * 1024  # benefit tile (N*M) f32 <= 4 MB of VMEM
 
 
 def _resident_kernel(eps_list, max_sweeps, b_ref, p_ref, r2c_ref, po_ref):
+    """State is the COLUMN-owner map c2r (M,), not the row map: unseating a
+    row is then a plain overwrite of its column's owner and seating a winner
+    is a (M,)-wide where — the row-map formulation needed five extra (N, M)
+    one-hot reductions per sweep (held / col_rebid / winner_of_prev /
+    winner_of_best / got_of_best) just to mirror those column events back
+    into row state (measured 1.5x per sweep at 1024^2). A row's assigned
+    flag falls out of one compare+reduce against c2r; the row map for the
+    caller is derived once per phase after the sweep loop. Semantics are
+    identical to the jnp phase loop (interpret-mode equality tests)."""
     benefit = b_ref[0]  # (N, M)
     n, m = benefit.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
     def sweep(state):
-        r2c, price, it, eps = state
-        unassigned = r2c < 0
+        c2r, price, it, eps = state
+        # assigned[r] = r owns some column (each row owns at most one:
+        # assigned rows never bid, so they can never win a second column)
+        own = c2r[None, :] == rows  # (N, M)
+        unassigned = jnp.max(jnp.where(own, 1, 0), axis=1) == 0
+
         v = benefit - price[None, :]
         m1 = jnp.max(v, axis=1)
         a1 = jnp.min(jnp.where(v == m1[:, None], cols, INT_MAX), axis=1)
@@ -214,37 +226,28 @@ def _resident_kernel(eps_list, max_sweeps, b_ref, p_ref, r2c_ref, po_ref):
         col_winner = jnp.min(jnp.where(is_win, rows, INT_MAX), axis=0)
 
         price = jnp.where(got, price + col_bid, price)
-
-        # gather-free unseat/seat: one-hot reductions instead of indexing
-        held = cols == r2c[:, None]  # (N, M), empty row where r2c == -1
-        col_rebid = jnp.max(jnp.where(jnp.logical_and(held, got[None, :]),
-                                      1, 0), axis=1) > 0
-        winner_of_prev = jnp.min(
-            jnp.where(held, col_winner[None, :], INT_MAX), axis=1)
-        r2c = jnp.where(jnp.logical_and(col_rebid, winner_of_prev != row_ids),
-                        -1, r2c)
-        winner_of_best = jnp.min(
-            jnp.where(sel, col_winner[None, :], INT_MAX), axis=1)
-        got_of_best = jnp.max(  # bool reductions have no Mosaic lowering
-            jnp.where(sel, got[None, :].astype(jnp.int32), 0), axis=1) > 0
-        seat = unassigned & (winner_of_best == row_ids) & got_of_best
-        r2c = jnp.where(seat, a1, r2c)
-        return r2c, price, it + 1, eps
+        # seat winners / unseat previous owners in one column-side select
+        c2r = jnp.where(got, col_winner, c2r)
+        return c2r, price, it + 1, eps
 
     def phase_cond(state):
-        r2c, _, it, _ = state
-        # min instead of any(<0): bool reductions have no Mosaic lowering
-        return jnp.logical_and(jnp.min(r2c) < 0, it < max_sweeps)
+        c2r, _, it, _ = state
+        # all rows assigned <=> n columns owned (rows own <= 1 column each)
+        n_owned = jnp.sum(jnp.where(c2r >= 0, 1, 0))
+        return jnp.logical_and(n_owned < n, it < max_sweeps)
 
     price = p_ref[0, 0]
-    r2c = jnp.full((n,), -1, jnp.int32)
+    c2r = jnp.full((m,), -1, jnp.int32)
     for eps in eps_list:  # static python loop over epsilon phases
-        r2c = jnp.full((n,), -1, jnp.int32)  # each phase re-matches from scratch
-        r2c, price, _, _ = jax.lax.while_loop(
+        c2r = jnp.full((m,), -1, jnp.int32)  # each phase re-matches from scratch
+        c2r, price, _, _ = jax.lax.while_loop(
             phase_cond, sweep,
-            (r2c, price, jnp.asarray(0, jnp.int32),
+            (c2r, price, jnp.asarray(0, jnp.int32),
              jnp.asarray(eps, jnp.float32)))
-    r2c_ref[0, 0] = r2c
+    # derive the row map: r2c[r] = the column r owns, -1 if none
+    own = c2r[None, :] == rows
+    r2c = jnp.min(jnp.where(own, cols, INT_MAX), axis=1)
+    r2c_ref[0, 0] = jnp.where(r2c == INT_MAX, -1, r2c)
     po_ref[0, 0] = price
 
 
@@ -275,6 +278,11 @@ def auction_solve_resident(benefit: jnp.ndarray, price: jnp.ndarray,
             jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
         ],
+        # the c2r-state sweep keeps ~5 (N, M) buffers live (benefit, the
+        # ownership compare, value matrix, selection masks): past the 16 MB
+        # default at 1024^2, comfortably inside physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
     )(benefit.astype(jnp.float32), price.astype(jnp.float32)[:, None, :])
     return r2c[:, 0], po[:, 0]
 
@@ -324,7 +332,14 @@ def _hbm_strip_size(n: int, m: int) -> int:
 
 
 def _resident_hbm_kernel(eps_list, max_sweeps, n, m, ts,
-                         b_hbm, p_ref, r2c_ref, po_ref, strip, sem):
+                         b_hbm, p_ref, r2c_ref, po_ref, strip, sem, c2r_ref):
+    """Strip-streaming auction with COLUMN-owner state (the c2r trick of
+    _resident_kernel): the owner map lives in a (1, M) VMEM scratch ref
+    (strips need pl.ds slicing, which only refs support), seat/unseat is a
+    per-strip select, and the row-map version's four strip-masked lookup
+    reductions per colpass (wop/rebid/wob/gob — 8 (N, TS) passes) are gone;
+    a row's assigned flag is accumulated in the SAME strip loop that
+    computes its top-2 values."""
     bi = pl.program_id(0)  # b_hbm is the FULL (B, N, M) array: ANY-space
     nstrips = m // ts      # inputs are not windowed per grid step
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
@@ -332,17 +347,16 @@ def _resident_hbm_kernel(eps_list, max_sweeps, n, m, ts,
     # but refs index with pl.ds — sweeps read/update price strips in place
     po_ref[0, 0] = p_ref[0, 0]
 
-    def sweep(state):
-        r2c, it, eps = state
-        unassigned = r2c < 0
+    def strip_copy(s, slot):
+        return pltpu.make_async_copy(
+            b_hbm.at[bi, :, pl.ds(s * ts, ts)], strip.at[slot],
+            sem.at[slot])
 
-        def strip_copy(s, slot):
-            return pltpu.make_async_copy(
-                b_hbm.at[bi, :, pl.ds(s * ts, ts)], strip.at[slot],
-                sem.at[slot])
+    def sweep(state):
+        _, it, eps = state
 
         def rowpass(s, carry):
-            bv, sv, bj = carry
+            bv, sv, bj, owned = carry
             slot = jax.lax.rem(s, 2)
 
             @pl.when(s == 0)
@@ -362,22 +376,26 @@ def _resident_hbm_kernel(eps_list, max_sweeps, n, m, ts,
             sa1 = jnp.min(jnp.where(v == sm1[:, None], cols, INT_MAX), axis=1)
             ssel = cols == sa1[:, None]
             sm2 = jnp.max(jnp.where(ssel, NEG_INF, v), axis=1)
+            # assigned flag from the owner map, folded into the same loop
+            own_s = c2r_ref[0, 0, pl.ds(s * ts, ts)][None, :] \
+                == row_ids[:, None]                    # (N, TS)
+            owned = jnp.maximum(owned, jnp.max(jnp.where(own_s, 1, 0), axis=1))
             # strips are disjoint column sets; strictly-greater keeps the
             # lower column index on ties (same merge as _row_top2_kernel)
             better = sm1 > bv
             return (jnp.where(better, sm1, bv),
                     jnp.where(better, jnp.maximum(bv, sm2),
                               jnp.maximum(sv, sm1)),
-                    jnp.where(better, sa1, bj))
+                    jnp.where(better, sa1, bj), owned)
 
         neg = jnp.full((n,), NEG_INF, jnp.float32)
-        bv, sv, bj = jax.lax.fori_loop(
-            0, nstrips, rowpass, (neg, neg, jnp.zeros((n,), jnp.int32)))
+        zero = jnp.zeros((n,), jnp.int32)
+        bv, sv, bj, owned = jax.lax.fori_loop(
+            0, nstrips, rowpass, (neg, neg, zero, zero))
 
-        bid = jnp.where(unassigned, bv - sv + eps, NEG_INF)
+        bid = jnp.where(owned == 0, bv - sv + eps, NEG_INF)
 
-        def colpass(s, carry):
-            wop, rebid, wob, gob = carry
+        def colpass(s, n_owned):
             cols = jax.lax.broadcasted_iota(jnp.int32, (n, ts), 1) + s * ts
             hit = bj[:, None] == cols                  # (N, TS)
             contrib = jnp.where(hit, bid[:, None], NEG_INF)
@@ -391,43 +409,38 @@ def _resident_hbm_kernel(eps_list, max_sweeps, n, m, ts,
             pr = po_ref[0, 0, pl.ds(s * ts, ts)]
             po_ref[0, 0, pl.ds(s * ts, ts)] = jnp.where(
                 got_s, pr + col_bid_s, pr)
+            # seat winners / unseat previous owners: one strip-side select
+            c2r_s = jnp.where(got_s, col_winner_s,
+                              c2r_ref[0, 0, pl.ds(s * ts, ts)])
+            c2r_ref[0, 0, pl.ds(s * ts, ts)] = c2r_s
+            return n_owned + jnp.sum(jnp.where(c2r_s >= 0, 1, 0))
 
-            # (N,)-indexed lookups as strip-masked reductions
-            held_s = cols == r2c[:, None]
-            sel_s = hit
-            got_i = got_s.astype(jnp.int32)[None, :]
-            wop = jnp.minimum(wop, jnp.min(
-                jnp.where(held_s, col_winner_s[None, :], INT_MAX), axis=1))
-            rebid = jnp.maximum(rebid, jnp.max(
-                jnp.where(jnp.logical_and(held_s, got_s[None, :]), 1, 0),
-                axis=1))
-            wob = jnp.minimum(wob, jnp.min(
-                jnp.where(sel_s, col_winner_s[None, :], INT_MAX), axis=1))
-            gob = jnp.maximum(gob, jnp.max(
-                jnp.where(sel_s, got_i, 0), axis=1))
-            return wop, rebid, wob, gob
-
-        imax = jnp.full((n,), INT_MAX, jnp.int32)
-        zero = jnp.zeros((n,), jnp.int32)
-        wop, rebid, wob, gob = jax.lax.fori_loop(
-            0, nstrips, colpass, (imax, zero, imax, zero))
-
-        r2c = jnp.where(jnp.logical_and(rebid > 0, wop != row_ids), -1, r2c)
-        seat = unassigned & (wob == row_ids) & (gob > 0)
-        r2c = jnp.where(seat, bj, r2c)
-        return r2c, it + 1, eps
+        n_owned = jax.lax.fori_loop(0, nstrips, colpass,
+                                    jnp.asarray(0, jnp.int32))
+        return n_owned, it + 1, eps
 
     def phase_cond(state):
-        r2c, it, _ = state
-        return jnp.logical_and(jnp.min(r2c) < 0, it < max_sweeps)
+        n_owned, it, _ = state
+        # all rows assigned <=> n owned columns (rows own <= 1 column each)
+        return jnp.logical_and(n_owned < n, it < max_sweeps)
 
-    r2c = jnp.full((n,), -1, jnp.int32)
     for eps in eps_list:
-        r2c = jnp.full((n,), -1, jnp.int32)
-        r2c, _, _ = jax.lax.while_loop(
+        c2r_ref[0, 0] = jnp.full((m,), -1, jnp.int32)
+        jax.lax.while_loop(
             phase_cond, sweep,
-            (r2c, jnp.asarray(0, jnp.int32), jnp.asarray(eps, jnp.float32)))
-    r2c_ref[0, 0] = r2c
+            (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(eps, jnp.float32)))
+
+    # derive the row map: r2c[r] = the column r owns, -1 if none
+    def derive(s, r2c):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, ts), 1) + s * ts
+        own_s = c2r_ref[0, 0, pl.ds(s * ts, ts)][None, :] == row_ids[:, None]
+        return jnp.minimum(r2c, jnp.min(
+            jnp.where(own_s, cols, INT_MAX), axis=1))
+
+    r2c = jax.lax.fori_loop(0, nstrips, derive,
+                            jnp.full((n,), INT_MAX, jnp.int32))
+    r2c_ref[0, 0] = jnp.where(r2c == INT_MAX, -1, r2c)
 
 
 @functools.partial(jax.jit, static_argnames=("eps_list", "max_sweeps", "ts"))
@@ -461,6 +474,7 @@ def auction_solve_resident_hbm(benefit: jnp.ndarray, price: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((2, n, ts), jnp.float32),   # double-buffered strips
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, 1, m), jnp.int32),      # column-owner map c2r
         ],
         # the sweep keeps ~16 strip-shaped temporaries live; the default
         # 16 MB scoped-VMEM budget measures 36 KB short at N=2048, TS=128
@@ -568,8 +582,23 @@ def _banded_kernel(eps_list, max_sweeps, n, m, w, tile, g,
             out.append((m1, m2, a1))
         return out
 
+    def unassigned_of(c2r, t):
+        """(G, tile) unassigned flags of tile t derived from the column-owner
+        map: a row only ever bids inside its own window, so its owned column
+        (if any) lies there."""
+        o = offs[t]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 1) + t * tile
+        own = c2r[:, o:o + w][:, None, :] == rows  # slice-then-axis: no gather
+        return jnp.max(jnp.where(own, 1, 0), axis=2) == 0
+
     def sweep(state):
-        r2c, it, eps = state
+        # state is the COLUMN-owner map c2r (G, m), not per-tile row maps:
+        # seating a winner and unseating the previous owner is then ONE
+        # column-side select, which deletes the row-map version's six
+        # window-masked reductions per tile (held/wop + sel/wob + unseat/
+        # seat) — the same c2r trick as _resident_kernel, measured 2.2x on
+        # sweep-bound dense solves
+        c2r, it, eps = state
         price = po_ref[:, 0]  # (G, m)
         tops = row_phase(price)
 
@@ -584,7 +613,7 @@ def _banded_kernel(eps_list, max_sweeps, n, m, w, tile, g,
         for t in range(ntiles):
             o = offs[t]
             m1, m2, bj_t = tops[t]
-            bid_t = jnp.where(r2c[t] < 0, m1 - m2 + eps, NEG_INF)
+            bid_t = jnp.where(unassigned_of(c2r, t), m1 - m2 + eps, NEG_INF)
             cols = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 2) + o
             rows = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 1) \
                 + t * tile
@@ -600,47 +629,35 @@ def _banded_kernel(eps_list, max_sweeps, n, m, w, tile, g,
             cwin[:, o:o + w] = jnp.where(better, twin, curw)
 
         cb, cw = cbid[...], cwin[...]
-        po_ref[:, 0] = jnp.where(cb > NEG_INF, price + cb, price)
-
-        # seat/unseat via window-masked reductions (a row's held/best column
-        # is always inside its own window). An unassigned row always bid on
-        # its best column, so that column necessarily got a bid — no
-        # got-of-best check needed.
-        new_r2c = []
-        for t in range(ntiles):
-            o = offs[t]
-            cols = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 2) + o
-            r2c_t, bj_t = r2c[t], tops[t][2]
-            cw_w = cw[:, o:o + w][:, None, :]  # slice-then-axis: no gather
-            held = r2c_t[..., None] == cols
-            sel = bj_t[..., None] == cols
-            wop = jnp.min(jnp.where(held, cw_w, INT_MAX), axis=2)  # (G, tile)
-            wob = jnp.min(jnp.where(sel, cw_w, INT_MAX), axis=2)
-            rid = jax.lax.broadcasted_iota(jnp.int32, (g, tile), 1) + t * tile
-            unseat = jnp.logical_and(wop != INT_MAX, wop != rid)
-            r2c_t = jnp.where(unseat, -1, r2c_t)
-            seat = (r2c[t] < 0) & (wob == rid)
-            new_r2c.append(jnp.where(seat, bj_t, r2c_t))
-        return tuple(new_r2c), it + 1, eps
+        got = cb > NEG_INF
+        po_ref[:, 0] = jnp.where(got, price + cb, price)
+        # seat winners / unseat previous owners in one column-side select
+        return jnp.where(got, cw, c2r), it + 1, eps
 
     def phase_cond(state):
-        r2c, it, _ = state
-        unass = functools.reduce(jnp.minimum,
-                                 [jnp.min(r) for r in r2c])
-        return jnp.logical_and(unass < 0, it < max_sweeps)
+        c2r, it, _ = state
+        # all rows assigned <=> n owned columns (per element; min over G)
+        n_owned = jnp.min(jnp.sum(jnp.where(c2r >= 0, 1, 0), axis=1))
+        return jnp.logical_and(n_owned < n, it < max_sweeps)
 
-    fresh = tuple(jnp.full((g, tile), -1, jnp.int32) for _ in range(ntiles))
-    r2c = fresh
+    fresh = jnp.full((g, m), -1, jnp.int32)
+    c2r = fresh
     for eps in eps_list:
-        r2c, _, _ = jax.lax.while_loop(
+        c2r, _, _ = jax.lax.while_loop(
             phase_cond, sweep,
             (fresh, jnp.asarray(0, jnp.int32), jnp.asarray(eps, jnp.float32)))
 
-    # greedy in-band completion of rows left by the sweep bound
+    # derive the row map from the owner map; greedy in-band completion
+    # (best in-band column) of rows left unassigned by the sweep bound
     tops = row_phase(po_ref[:, 0])
     for t in range(ntiles):
+        o = offs[t]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 2) + o
+        rows = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 1) + t * tile
+        own = c2r[:, o:o + w][:, None, :] == rows
+        r2c_t = jnp.min(jnp.where(own, cols, INT_MAX), axis=2)
         r2c_ref[:, 0, t * tile:(t + 1) * tile] = jnp.where(
-            r2c[t] < 0, tops[t][2], r2c[t])
+            r2c_t == INT_MAX, tops[t][2], r2c_t)
 
 
 BAND_SCRATCH_BYTES = 28 * 1024 * 1024  # (G, N, W) band budget
