@@ -82,9 +82,10 @@ def test_bidir_ties_to_lower_index():
 
 
 def _blend3_oracle(q, r, f):
-    """Brute-force (x-y)^2 3-NN inverse-distance blend (the kernel's distance
-    formula — the jnp path's x^2+y^2-2xy differs in ulps, which can flip
-    near-tied neighbor choices, so the oracle recomputes exactly)."""
+    """Brute-force (x-y)^2 3-NN inverse-distance blend. The kernel now uses
+    the x^2+y^2-2xy expansion (cross term on the MXU, same formula as the
+    jnp fallback's pairwise_sqdist), which differs from this oracle in ulps
+    — hence the atol below covers the weight wobble on near-tied anchors."""
     d = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)  # (n, m)
     idx = np.argsort(d, axis=1, kind="stable")[:, :3]
     d3 = np.take_along_axis(d, idx, axis=1)
@@ -117,7 +118,7 @@ def test_blend3_kernel_matches_oracle(n, m):
             np.asarray(q[b], np.float32), np.asarray(r[b], np.float32),
             np.asarray(f[b], np.float32))
         np.testing.assert_allclose(np.asarray(blended[b]), ref_b,
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-3, atol=1e-5)
         np.testing.assert_array_equal(mask[b], ref_m)
 
 
