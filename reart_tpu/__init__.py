@@ -39,8 +39,32 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # TPU compile each miss costs tens of seconds. Respect an explicit user dir.
 import os as _os
 
+def _host_cache_tag() -> str:
+    """CPU-feature fingerprint for the cache path (same rationale as
+    native/__init__.py:_host_tag). XLA:CPU cache entries embed AOT machine
+    code keyed without the host's machine features; this VM live-migrates
+    between hosts with different CPUs, and loading a foreign entry logs
+    'could lead to execution errors such as SIGILL' (observed 2026-08-18).
+    A per-host subdirectory trades a one-time recompile after a migration
+    for never executing foreign machine code. TPU entries are device code
+    and would be reusable, but correctness of the CPU path (tests, dryrun,
+    hostops) wins."""
+    import hashlib as _hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return _hashlib.md5(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "unknown"
+
+
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    _cache_dir = _os.path.expanduser("~/.cache/reart_tpu_jax")
+    _cache_dir = _os.path.join(
+        _os.path.expanduser("~/.cache/reart_tpu_jax"), _host_cache_tag())
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
