@@ -74,6 +74,20 @@ def _corr_args(p: argparse.ArgumentParser):
     p.add_argument("--max_angle", default=0.6, type=float)
     p.add_argument("--k_parts", default=8, type=int)
     p.add_argument("--dispatch_chunk", default=50, type=int)
+    p.add_argument("--resample", default=1, type=int, choices=[0, 1],
+                   help="train on INDEPENDENTLY subsampled src/tgt clouds "
+                        "with radius-gated NN positives (the way real frame "
+                        "pairs sample the surface independently) instead of "
+                        "the identity-correspondence recipe; 0 restores the "
+                        "identity recipe")
+    p.add_argument("--pos_radius", default=0.02, type=float,
+                   help="resampled recipe: max distance (normalized units) "
+                        "from a point's true transformed position to its "
+                        "nearest tgt point for the pair to count as a "
+                        "positive")
+    p.add_argument("--neg_radius", default=0.05, type=float,
+                   help="resampled recipe: tgt points inside this radius of "
+                        "the true position are excluded from the negatives")
     p.add_argument("--bf16", action="store_true",
                    help="backbone forward/backward in bfloat16 (MXU 2x rate; "
                         "f32 master weights/optimizer/BN stats)")
@@ -362,7 +376,9 @@ def run_train_corr(args):
         k_parts=args.k_parts, max_angle=args.max_angle,
         temperature=args.temperature, lr=args.lr,
         dispatch_chunk=args.dispatch_chunk,
-        compute_dtype="bfloat16" if args.bf16 else "float32")
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        resample=bool(args.resample), pos_radius=args.pos_radius,
+        neg_radius=args.neg_radius)
     mesh = None
     if len(jax.devices()) > 1 and args.batch % len(jax.devices()) == 0:
         from reart_tpu.parallel import make_mesh
@@ -389,10 +405,12 @@ def run_train_corr(args):
     params_h = to_host(params)
     with on_host():
         # held-out synthetic pair through the INFERENCE path (running BN
-        # + SMNN)
-        src, tgt = synth_pair(jax.random.PRNGKey(10_007),
-                              jnp.asarray(frames), cfg)
-        prec, rate = match_precision(params_h, src, tgt)
+        # + SMNN); correctness is gt_pos-proximity so it is meaningful for
+        # both the identity and the resampled recipe
+        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(10_007),
+                                      jnp.asarray(frames), cfg)
+        prec, rate = match_precision(params_h, src, tgt, gt_pos=gt_pos,
+                                     pos_radius=cfg.pos_radius)
         print(f"final loss {losses[-1]:.3f}; held-out synthetic pair: "
               f"SMNN precision {prec:.3f}, match rate {rate:.3f}")
 

@@ -71,6 +71,17 @@ class CorrTrainConfig:
     # trainer raises instead of hanging forever. Must cover the first
     # chunk's remote compile.
     dispatch_timeout: float = 1800.0
+    # resampled pairs: src and tgt are INDEPENDENT subsets of the frame, the
+    # way two real scans are independent samplings of the surface — the
+    # identity map no longer exists, so positives come from the geometric
+    # nearest neighbor of each src point's true transformed position
+    # (gt_pos), gated by pos_radius, and near-misses inside neg_radius are
+    # excluded from the negatives (they are almost-correct answers). Trains
+    # features that survive resampling — the failure mode of the identity
+    # recipe on real frame pairs (sparse matches, PARITY.md).
+    resample: bool = False
+    pos_radius: float = 0.02      # max ||gt_pos - nn(tgt)|| for a positive
+    neg_radius: float = 0.05      # no-penalty zone around gt_pos
 
 
 def synth_pair(key, frames, cfg: CorrTrainConfig):
@@ -78,25 +89,38 @@ def synth_pair(key, frames, cfg: CorrTrainConfig):
 
     frames: (F, N0, 3) clouds ALREADY normalized exactly as inference will
     normalize them (cli.setup_flow passes the category/dataset centroid+scale
-    before matching — run_robot.py:72-77). Returns (src (N, 3), tgt (N, 3))
-    with correspondence src[i] <-> tgt[i] by construction.
-    """
+    before matching — run_robot.py:72-77). Returns (src (N, 3), tgt (N, 3),
+    gt_pos (N, 3)): gt_pos[i] is src[i]'s TRUE (jitter-free) position in
+    tgt's frame. With cfg.resample=False, tgt is the same point set as src
+    (correspondence src[i] <-> tgt[i], gt_pos ≈ tgt); with resample=True,
+    tgt is an INDEPENDENT subset of the frame moved by the same part/global
+    motion — the identity map does not exist and the loss derives positives
+    from gt_pos (see corr_info_nce)."""
     kf, kp, ks, kk, kax, kan, ktr, kga, kgan, kgt, kj1, kj2, ksc = (
         jax.random.split(key, 13))
     f_count, n0 = frames.shape[0], frames.shape[1]
     n, k_max = cfg.n_points, cfg.k_parts
 
     cloud = frames[jax.random.randint(kf, (), 0, f_count)]
-    x = cloud[jax.random.permutation(kp, n0)[:n]]  # (N, 3)
+    perm = jax.random.permutation(kp, n0)
+    x = cloud[perm[:n]]  # (N, 3)
+    if cfg.resample:
+        # independent target subset (disjoint when the frame is big enough)
+        x2 = cloud[perm[n0 - n:]]  # (N, 3)
+    else:
+        x2 = x
 
     # Voronoi split around K random seed points; a random subset of seeds is
     # active so part count varies in [min_parts, k_parts]
     seeds = x[jax.random.permutation(ks, n)[:k_max]]  # (K, 3)
     k_active = jax.random.randint(kk, (), cfg.min_parts, k_max + 1)
     active = jnp.arange(k_max) < k_active
-    d2 = jnp.sum((x[:, None] - seeds[None]) ** 2, axis=-1)  # (N, K)
-    d2 = jnp.where(active[None], d2, jnp.inf)
-    label = jnp.argmin(d2, axis=-1)  # (N,)
+
+    def voronoi_label(pts):
+        d2 = jnp.sum((pts[:, None] - seeds[None]) ** 2, axis=-1)  # (N, K)
+        return jnp.argmin(jnp.where(active[None], d2, jnp.inf), axis=-1)
+
+    label = voronoi_label(x)  # (N,)
     onehot = jax.nn.one_hot(label, k_max, dtype=x.dtype)  # (N, K)
 
     counts = jnp.sum(onehot, axis=0)  # (K,)
@@ -109,10 +133,6 @@ def synth_pair(key, frames, cfg: CorrTrainConfig):
     rot = so3_exp_map(axis * angle)  # (K, 3, 3)
     slide = cfg.max_slide * jax.random.normal(ktr, (k_max, 3))
 
-    c = centroids[label]  # (N, 3)
-    r = rot[label]        # (N, 3, 3)
-    y = jnp.einsum("nij,nj->ni", r, x - c) + c + slide[label]
-
     # global motion on the target (camera / root movement)
     gaxis = jax.random.normal(kga, (3,))
     gaxis = gaxis / (jnp.linalg.norm(gaxis) + 1e-8)
@@ -120,14 +140,22 @@ def synth_pair(key, frames, cfg: CorrTrainConfig):
                                 maxval=cfg.global_angle)
     grot = so3_exp_map((gaxis * gangle)[None])[0]
     gslide = cfg.global_slide * jax.random.normal(kgt, (3,))
-    y = y @ grot.T + gslide
+
+    def move(pts, lab):
+        c = centroids[lab]   # (N, 3)
+        r = rot[lab]         # (N, 3, 3)
+        out = jnp.einsum("nij,nj->ni", r, pts - c) + c + slide[lab]
+        return out @ grot.T + gslide
+
+    gt_pos = move(x, label)                      # src's true target position
+    y = gt_pos if not cfg.resample else move(x2, voronoi_label(x2))
 
     x = x + cfg.jitter * jax.random.normal(kj1, x.shape)
     y = y + cfg.jitter * jax.random.normal(kj2, y.shape)
 
     s = jax.random.uniform(ksc, (), minval=1.0 - cfg.scale_jitter,
                            maxval=1.0 + cfg.scale_jitter)
-    return x * s, y * s
+    return x * s, y * s, gt_pos * s
 
 
 def apply_bn_ema(params, stats, momentum: float):
@@ -155,11 +183,22 @@ def apply_bn_ema(params, stats, momentum: float):
 
 
 def corr_info_nce(params, src, tgt, temperature: float,
-                  compute_dtype: str = "float32"):
-    """Bidirectional InfoNCE on identity-corresponding clouds.
+                  compute_dtype: str = "float32", gt_pos=None,
+                  pos_radius: float = 0.02, neg_radius: float = 0.05):
+    """Bidirectional InfoNCE.
 
     src/tgt: (B, N, 3). Returns (loss, bn_stats) — the backbone runs ONE
     batched pass over the 2B clouds so batch statistics are shared.
+
+    gt_pos=None (identity recipe): src[i] corresponds to tgt[i]; the labels
+    are the diagonal. gt_pos (B, N, 3) (resampled recipe): src[i]'s positive
+    is the tgt point geometrically nearest to gt_pos[i] (its true transformed
+    position), valid only within pos_radius; any other tgt point inside
+    neg_radius of gt_pos[i] is an almost-correct answer and is masked out of
+    the negatives instead of being pushed away. Reverse direction likewise
+    with the roles swapped. This is the PPF-FoldNet/FCGF-style
+    radius-gated contrastive objective, needed once src and tgt stop
+    sharing a point set.
 
     compute_dtype="bfloat16" casts weights+activations for the backbone pass
     (MXU 2x rate); master weights stay f32 (autodiff casts grads back), BN
@@ -180,11 +219,31 @@ def corr_info_nce(params, src, tgt, temperature: float,
              for m, v in stats]
     feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
     f1, f2 = feats[:b], feats[b:]
-    logits = jnp.einsum("bnd,bmd->bnm", f1, f2) / temperature  # (B, N, N)
-    labels = jnp.broadcast_to(jnp.arange(n), (b, n))
+    logits = jnp.einsum("bnd,bmd->bnm", f1, f2) / temperature  # (B, N, M)
     ce = optax.softmax_cross_entropy_with_integer_labels
-    loss = 0.5 * (jnp.mean(ce(logits, labels)) +
-                  jnp.mean(ce(jnp.swapaxes(logits, 1, 2), labels)))
+    if gt_pos is None:
+        labels = jnp.broadcast_to(jnp.arange(n), (b, n))
+        loss = 0.5 * (jnp.mean(ce(logits, labels)) +
+                      jnp.mean(ce(jnp.swapaxes(logits, 1, 2), labels)))
+        return loss, stats
+
+    # geometric distances from each src point's true position to every tgt
+    # point (and transposed for the reverse direction)
+    d2 = jnp.sum((gt_pos[:, :, None] - tgt[:, None]) ** 2, -1)  # (B, N, M)
+
+    def gated_ce(lg, d2):
+        pos = jnp.argmin(d2, axis=-1)                            # (B, N)
+        dmin = jnp.min(d2, axis=-1)
+        valid = (dmin < pos_radius ** 2).astype(jnp.float32)
+        is_pos = jax.nn.one_hot(pos, d2.shape[-1], dtype=jnp.bool_)
+        near = (d2 < neg_radius ** 2) & ~is_pos
+        lg = jnp.where(near, -1e9, lg)
+        return jnp.sum(ce(lg, pos) * valid) / jnp.maximum(
+            jnp.sum(valid), 1.0)
+
+    loss = 0.5 * (gated_ce(logits, d2) +
+                  gated_ce(jnp.swapaxes(logits, 1, 2),
+                           jnp.swapaxes(d2, 1, 2)))
     return loss, stats
 
 
@@ -203,16 +262,20 @@ def _train_chunk(cfg: CorrTrainConfig, tx, mesh, params, opt_state, frames,
     def body(carry, key):
         params, opt_state = carry
         pair_keys = jax.random.split(key, cfg.batch)
-        src, tgt = jax.vmap(lambda k: synth_pair(k, frames, cfg))(pair_keys)
+        src, tgt, gt_pos = jax.vmap(
+            lambda k: synth_pair(k, frames, cfg))(pair_keys)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sh = NamedSharding(mesh, P("seq"))
             src = jax.lax.with_sharding_constraint(src, sh)
             tgt = jax.lax.with_sharding_constraint(tgt, sh)
+            gt_pos = jax.lax.with_sharding_constraint(gt_pos, sh)
         (loss, stats), grads = jax.value_and_grad(
             corr_info_nce, has_aux=True)(params, src, tgt, cfg.temperature,
-                                         cfg.compute_dtype)
+                                         cfg.compute_dtype,
+                                         gt_pos if cfg.resample else None,
+                                         cfg.pos_radius, cfg.neg_radius)
         import optax
 
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -344,17 +407,26 @@ def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
     return params, np.concatenate(losses)
 
 
-def match_precision(params, src, tgt, th: float = 0.9):
+def match_precision(params, src, tgt, th: float = 0.9, gt_pos=None,
+                    pos_radius: float = 0.02):
     """Evaluation: SMNN-match src->tgt features (the exact inference matching,
-    flow.match_smnn) on an identity-corresponding pair; returns
-    (precision, match_rate): fraction of VALID matches that are correct, and
-    fraction of points matched at all."""
+    flow.match_smnn); returns (precision, match_rate): fraction of VALID
+    matches that are correct, and fraction of points matched at all.
+
+    gt_pos=None: identity-corresponding pair, a match i->j is correct iff
+    j == i. gt_pos (N, 3): resampled pair, correct iff tgt[j] lies within
+    pos_radius of src[i]'s true transformed position gt_pos[i]."""
     from reart_tpu.flow import match_smnn
 
     feats = apply_pointnet2msg2(params, jnp.stack([src, tgt]))
     f1, f2 = feats[0], feats[1]
     _, j, valid = match_smnn(f1, f2, th)
-    correct = valid & (j == jnp.arange(src.shape[0]))
+    if gt_pos is None:
+        hit = j == jnp.arange(src.shape[0])
+    else:
+        err2 = jnp.sum((tgt[j] - gt_pos) ** 2, -1)
+        hit = err2 < pos_radius ** 2
+    correct = valid & hit
     n_valid = jnp.maximum(jnp.sum(valid), 1)
     return (float(jnp.sum(correct) / n_valid),
             float(jnp.mean(valid.astype(jnp.float32))))

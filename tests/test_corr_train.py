@@ -37,23 +37,26 @@ class TestSynthPair:
     def test_shapes_and_determinism(self, frames):
         cfg = CorrTrainConfig(n_points=256)
         key = jax.random.PRNGKey(3)
-        src, tgt = synth_pair(key, frames, cfg)
-        src2, tgt2 = synth_pair(key, frames, cfg)
+        src, tgt, gt_pos = synth_pair(key, frames, cfg)
+        src2, tgt2, _ = synth_pair(key, frames, cfg)
+        assert gt_pos.shape == (256, 3)
         assert src.shape == tgt.shape == (256, 3)
         assert np.isfinite(np.asarray(src)).all()
         assert np.isfinite(np.asarray(tgt)).all()
         np.testing.assert_array_equal(np.asarray(src), np.asarray(src2))
         np.testing.assert_array_equal(np.asarray(tgt), np.asarray(tgt2))
         # different keys give different pairs
-        src3, _ = synth_pair(jax.random.PRNGKey(4), frames, cfg)
+        src3, _, _ = synth_pair(jax.random.PRNGKey(4), frames, cfg)
         assert np.abs(np.asarray(src) - np.asarray(src3)).max() > 1e-3
 
     def test_identity_when_motion_off(self, frames):
         cfg = CorrTrainConfig(n_points=128, max_angle=0.0, max_slide=0.0,
                               jitter=0.0, global_angle=0.0, global_slide=0.0,
                               scale_jitter=0.0)
-        src, tgt = synth_pair(jax.random.PRNGKey(0), frames, cfg)
+        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(0), frames, cfg)
         np.testing.assert_allclose(np.asarray(src), np.asarray(tgt),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gt_pos), np.asarray(tgt),
                                    atol=1e-6)
 
     def test_parts_move_rigidly(self, frames):
@@ -64,7 +67,7 @@ class TestSynthPair:
                               global_slide=0.0, scale_jitter=0.0,
                               max_angle=0.5, max_slide=0.1, k_parts=4,
                               min_parts=4)
-        src, tgt = synth_pair(jax.random.PRNGKey(1), frames, cfg)
+        src, tgt, _ = synth_pair(jax.random.PRNGKey(1), frames, cfg)
         src, tgt = np.asarray(src), np.asarray(tgt)
         # rigid motions preserve ALL pairwise distances within a part; points
         # whose distance changed are in different parts. Check the converse
@@ -114,7 +117,8 @@ class TestTraining:
                               dispatch_chunk=4)
         key = jax.random.PRNGKey(0)
         init_params = init_pointnet2msg2(jax.random.PRNGKey(42))
-        held_src, held_tgt = synth_pair(jax.random.PRNGKey(999), frames, cfg)
+        held_src, held_tgt, _ = synth_pair(jax.random.PRNGKey(999), frames,
+                                           cfg)
         # th=1.0 disables the SNN ratio filter: precision is then plain
         # mutual-NN accuracy, a much more discriminative probe than the
         # ratio-gated SMNN precision (random features pass the ratio test
@@ -230,3 +234,88 @@ class TestCheckpointResume:
                            checkpoint_path=str(tmp_path / "t.ckpt"))
         finally:
             release.set()  # let the abandoned daemon thread exit cleanly
+
+
+class TestResampledRecipe:
+    """cfg.resample=True: src/tgt are independent subsets of the frame and
+    positives are radius-gated geometric NNs of gt_pos (train/corr.py)."""
+
+    def test_gt_pos_tracks_tgt_within_jitter(self, frames):
+        cfg = CorrTrainConfig(n_points=128)  # identity recipe
+        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(5), frames, cfg)
+        # tgt = gt_pos + jitter*normal (then shared scale): bounded gap
+        gap = np.linalg.norm(np.asarray(tgt) - np.asarray(gt_pos), axis=-1)
+        assert gap.max() < 8 * cfg.jitter
+
+    def test_resampled_subsets_are_disjoint_and_rigid(self, frames):
+        cfg = CorrTrainConfig(n_points=300, resample=True, jitter=0.0,
+                              max_angle=0.0, max_slide=0.0, global_angle=0.0,
+                              global_slide=0.0, scale_jitter=0.0)
+        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(2), frames, cfg)
+        src, tgt, gt_pos = map(np.asarray, (src, tgt, gt_pos))
+        # with all motion off, gt_pos is src itself...
+        np.testing.assert_allclose(gt_pos, src, atol=1e-6)
+        # ...but tgt is a DIFFERENT subset of the cloud (frames have 700
+        # points >= 2*300: subsets are disjoint)
+        d = np.linalg.norm(src[:, None] - tgt[None], axis=-1)
+        assert d.min(axis=1).max() > 1e-6  # no tgt point equals a src point
+
+    def test_gated_ce_reduces_to_identity_on_exact_pairs(self, frames):
+        """With jitter off and resample off, gt_pos == tgt, so the
+        radius-gated loss must equal the diagonal-label loss exactly."""
+        from reart_tpu.train.corr import corr_info_nce
+
+        cfg = CorrTrainConfig(n_points=128, jitter=0.0)
+        params = init_pointnet2msg2(jax.random.PRNGKey(0))
+        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(3), frames, cfg)
+        src, tgt, gt_pos = src[None], tgt[None], gt_pos[None]
+        l_diag, _ = corr_info_nce(params, src, tgt, 0.07)
+        l_gated, _ = corr_info_nce(params, src, tgt, 0.07, gt_pos=gt_pos,
+                                   pos_radius=1e9, neg_radius=0.0)
+        np.testing.assert_allclose(float(l_gated), float(l_diag), rtol=1e-6)
+
+    def test_gated_ce_masks_near_positives(self, frames):
+        """Points inside neg_radius of the true position must not be pushed
+        away: widening neg_radius can only lower (or keep) the loss on the
+        same inputs, and the loss stays finite with gradients."""
+        from reart_tpu.train.corr import corr_info_nce
+
+        cfg = CorrTrainConfig(n_points=128, resample=True)
+        params = init_pointnet2msg2(jax.random.PRNGKey(0))
+        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(4), frames, cfg)
+        src, tgt, gt_pos = src[None], tgt[None], gt_pos[None]
+
+        def loss_at(neg_r):
+            l, _ = corr_info_nce(params, src, tgt, 0.07, gt_pos=gt_pos,
+                                 pos_radius=0.3, neg_radius=neg_r)
+            return float(l)
+
+        l_none, l_wide = loss_at(0.0), loss_at(0.2)
+        assert np.isfinite(l_none) and np.isfinite(l_wide)
+        assert l_wide <= l_none + 1e-6
+
+        def scalar(p):
+            l, _ = corr_info_nce(p, src, tgt, 0.07, gt_pos=gt_pos,
+                                 pos_radius=0.3, neg_radius=0.05)
+            return l
+
+        g = jax.grad(scalar)(params)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g))
+
+    @pytest.mark.slow
+    def test_resampled_training_improves_matching(self, frames):
+        cfg = CorrTrainConfig(steps=8, batch=2, n_points=512,
+                              dispatch_chunk=4, resample=True,
+                              pos_radius=0.1, neg_radius=0.2)
+        init_params = init_pointnet2msg2(jax.random.PRNGKey(42))
+        held_src, held_tgt, held_gt = synth_pair(jax.random.PRNGKey(999),
+                                                 frames, cfg)
+        prec0, _ = match_precision(init_params, held_src, held_tgt, th=1.0,
+                                   gt_pos=held_gt, pos_radius=0.1)
+        params, losses = train_corr(jax.random.PRNGKey(0), frames, cfg)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        prec1, _ = match_precision(params, held_src, held_tgt, th=1.0,
+                                   gt_pos=held_gt, pos_radius=0.1)
+        assert prec1 > prec0
