@@ -48,6 +48,10 @@ def load_workload():
 # irrelevant for these kernels (distance/sweep work is VPU/bandwidth work).
 PEAK_HBM_GBPS = 819.0
 PEAK_VPU_GFLOPS = 1900.0
+# v5e MXU peak (bf16 multiplies, f32 accumulate). TPU matmuls run the MXU at
+# this rate for f32 inputs too under the default precision (inputs rounded
+# to bf16), so one peak serves both corr-trainer dtypes.
+PEAK_MXU_GFLOPS = 197_000.0
 
 
 def _fence(x):
@@ -184,8 +188,10 @@ def init_backend_or_die(timeout_s: float = 900.0):
 def corr_training_bench(complete):
     """Throughput of the self-supervised corr-backbone trainer (train/corr.py)
     — the MXU-heavy counterpart to the VPU/bandwidth fit kernels. Reports
-    steady-state steps/sec and the XLA-estimated FLOPs per optimization step
-    (fwd+bwd through PointNet2Msg2 at (2*batch, n_points))."""
+    f32 and bf16 steady-state steps/sec, the XLA-estimated FLOPs per
+    optimization step (fwd+bwd through PointNet2Msg2 at (2*batch, n_points)),
+    achieved GFLOPs, and % of the MXU peak."""
+    import dataclasses as _dc
     import time as _time
 
     import jax
@@ -202,33 +208,57 @@ def corr_training_bench(complete):
     cfg = CorrTrainConfig(steps=60, batch=4, n_points=1024,
                           dispatch_chunk=20)
 
-    marks = []
-    key = jax.random.PRNGKey(0)
-    train_corr(key, frames, cfg,
-               log_fn=lambda s, l: marks.append((_time.perf_counter(), s)))
-    # chunk 1 includes compile; steady state = later chunks
-    (t1, s1), (t2, s2) = marks[-2], marks[-1]
-    steps_per_sec = (s2 - s1) / (t2 - t1)
+    def steady_steps_per_sec(cfg_x):
+        marks = []
+        train_corr(jax.random.PRNGKey(0), frames, cfg_x,
+                   log_fn=lambda s, l: marks.append((_time.perf_counter(), s)))
+        # chunk 1 includes compile; steady state = later chunks
+        (t1, s1), (t2, s2) = marks[-2], marks[-1]
+        return (s2 - s1) / (t2 - t1)
 
-    flops = None
+    steps_per_sec = steady_steps_per_sec(cfg)
+    out = {"steps_per_sec": round(steps_per_sec, 2)}
+
+    # bf16 backbone pass (f32 master weights) — same session A/B
+    try:
+        sps16 = steady_steps_per_sec(
+            _dc.replace(cfg, compute_dtype="bfloat16"))
+        out["steps_per_sec_bf16"] = round(sps16, 2)
+        out["bf16_speedup"] = round(sps16 / steps_per_sec, 2)
+    except Exception as e:
+        log(f"bf16 corr bench unavailable: {e}")
+
+    # XLA cost model for one optimization step (the training recipe's exact
+    # loss: resampled radius-gated InfoNCE with per-pair scale gating)
     try:
         from reart_tpu.models.pointnet2 import init_pointnet2msg2
 
         params = init_pointnet2msg2(jax.random.PRNGKey(0))
-        src, tgt = jax.vmap(lambda k: synth_pair(k, frames, cfg))(
-            jax.random.split(key, cfg.batch))
-        step_fn = jax.jit(lambda p, s, t: jax.value_and_grad(
-            corr_info_nce, has_aux=True)(p, s, t, cfg.temperature))
-        cost = step_fn.lower(params, src, tgt).compile().cost_analysis()
+        src, tgt, gt_pos, scale = jax.vmap(
+            lambda k: synth_pair(k, frames, cfg))(
+            jax.random.split(jax.random.PRNGKey(0), cfg.batch))
+        step_fn = jax.jit(lambda p, s, t, g, sc: jax.value_and_grad(
+            corr_info_nce, has_aux=True)(
+            p, s, t, cfg.temperature, cfg.compute_dtype,
+            g if cfg.resample else None, cfg.pos_radius, cfg.neg_radius, sc))
+        cost = step_fn.lower(params, src, tgt, gt_pos,
+                             scale).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
+        if flops:
+            out["flops_per_step"] = round(flops)
+            out["achieved_gflops"] = round(flops * steps_per_sec / 1e9, 1)
+            out["pct_peak_mxu"] = round(
+                flops * steps_per_sec / 1e9 / PEAK_MXU_GFLOPS * 100, 2)
+            if "steps_per_sec_bf16" in out:
+                out["achieved_gflops_bf16"] = round(
+                    flops * out["steps_per_sec_bf16"] / 1e9, 1)
+                out["pct_peak_mxu_bf16"] = round(
+                    flops * out["steps_per_sec_bf16"] / 1e9
+                    / PEAK_MXU_GFLOPS * 100, 2)
     except Exception as e:
         log(f"corr cost_analysis unavailable: {e}")
-    out = {"steps_per_sec": round(steps_per_sec, 2)}
-    if flops:
-        out["flops_per_step"] = round(flops)
-        out["achieved_gflops"] = round(flops * steps_per_sec / 1e9, 1)
     return out
 
 

@@ -163,6 +163,89 @@ def load_torch_kinematic(path: str):
     return params, state, float(ckpt.get("tau", 1.0)), int(ckpt.get("cano_idx", 0))
 
 
+def save_torch_base(path: str, params, tau: float, cano_idx: int) -> None:
+    """Export our base-model params as a reference BaseModel checkpoint
+    (the exact dict run_robot.py:340-342 writes and :93-99 resumes,
+    strict=False): state_dict {proposal_6d, proposal_t, seg_head.model.*}.
+    Inverse of `load_torch_base`."""
+    import torch
+
+    seg = params["seg"]
+    sd = {
+        "proposal_6d": torch.tensor(np.asarray(params["proposal_6d"]),
+                                    dtype=torch.float32),
+        "proposal_t": torch.tensor(np.asarray(params["proposal_t"]),
+                                   dtype=torch.float32),
+        # ours: {"w": (C_in, C_out)[, "b": (C_out,)]}; torch Conv1d weight is
+        # (C_out, C_in, 1)
+        "seg_head.model.0.weight": torch.tensor(
+            np.asarray(seg[0]["w"]).T[:, :, None], dtype=torch.float32),
+        "seg_head.model.0.bias": torch.tensor(
+            np.asarray(seg[0]["b"]), dtype=torch.float32),
+        "seg_head.model.2.weight": torch.tensor(
+            np.asarray(seg[1]["w"]).T[:, :, None], dtype=torch.float32),
+    }
+    torch.save({"state_dict": sd, "tau": float(tau),
+                "cano_idx": int(cano_idx)}, path)
+
+
+def save_torch_kinematic(path: str, params, state, tau: float,
+                         cano_idx: int) -> None:
+    """Export our kinematic fit as a reference KinematicModel checkpoint —
+    the exact dict run_robot.py:344-356 writes and :126-133 resumes
+    (strict=True): state_dict {axis_list, moment_list, theta_list[,
+    distance_list, root_6d, root_t]} plus the non-parameter state the
+    reference model ctor consumes (seg_part, cano_pc, edge_index,
+    paths_to_base, reverse_topo[, joint_type_list]). Inverse of
+    `load_torch_kinematic`; lets the reference's own evaluator score our
+    fits (reverse-direction parity)."""
+    import torch
+
+    def t(x, dtype=torch.float32):
+        return torch.tensor(np.asarray(x), dtype=dtype)
+
+    sd = {
+        "axis_list": t(params["axis_list"]),
+        "moment_list": t(params["moment_list"]),
+        "theta_list": t(params["theta_list"]),
+    }
+    if "distance_list" in params:
+        sd["distance_list"] = t(params["distance_list"])
+    if "root_6d" in params:
+        sd["root_6d"] = t(params["root_6d"])
+        sd["root_t"] = t(params["root_t"])
+
+    # paths_to_base: nx.shortest_path(G, target=root) on the child->parent
+    # DAG = {node: [node, parent, ..., root]} incl. {root: [root]}
+    parent = {int(c): int(p) for c, p in state.edges}
+    children = set(parent)
+    root = next(int(p) for _, p in state.edges if int(p) not in children)
+    paths_to_base = {}
+    for n in range(state.num_parts):
+        chain, cur = [n], n
+        while cur != root:
+            cur = parent[cur]
+            chain.append(cur)
+        paths_to_base[n] = chain
+
+    payload = {
+        "state_dict": sd,
+        "tau": float(tau),
+        "cano_idx": int(cano_idx),
+        "seg_part": t(state.seg_part, torch.int64),
+        "cano_pc": t(state.cano_pc),
+        "edge_index": dict(state.edge_index),
+        "paths_to_base": paths_to_base,
+        "reverse_topo": [int(n) for n in state.reverse_topo],
+    }
+    if state.prismatic_mask is not None:
+        payload["joint_type_list"] = [
+            "prismatic" if bool(m) else "revolute"
+            for m in np.asarray(state.prismatic_mask)
+        ]
+    torch.save(payload, path)
+
+
 # -- orbax-backed variant (multi-host / async, for production fits) ---------
 
 def save_orbax(directory: str, payload) -> None:

@@ -96,6 +96,18 @@ def _corr_args(p: argparse.ArgumentParser):
                         "if it exists and atomically rewrites it as it goes "
                         "(bit-identical to an uninterrupted run at fixed "
                         "--dispatch_chunk)")
+    p.add_argument("--self_finetune_steps", default=0, type=int,
+                   help="after training, fine-tune on the sequence's own "
+                        "REAL consecutive frame pairs with mined SMNN "
+                        "pseudo-labels (train.corr.finetune_real_pairs) — "
+                        "densifies real-pair matches; 0 disables")
+    p.add_argument("--self_finetune_th", default=0.9, type=float,
+                   help="SMNN ratio threshold for pseudo-label mining")
+    p.add_argument("--self_finetune_rounds", default=3, type=int,
+                   help="re-mine pseudo-labels this many times (EM rounds)")
+    p.add_argument("--self_finetune_real_frac", default=0.5, type=float,
+                   help="fraction of fine-tune batch drawn from real pairs "
+                        "(the rest stay synthetic, anchoring the features)")
 
 
 def _common_args(p: argparse.ArgumentParser, domain: str):
@@ -143,6 +155,12 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     p.add_argument("--merge_thr", default=3e-2, type=float)
     p.add_argument("--merge_it", default=2 if robot else 3, type=int)
     p.add_argument("--save_root", default="exp", type=str)
+    p.add_argument("--snapshot_metrics", action="store_true",
+                   help="evaluate flow/seg/recon metrics on the live fit "
+                        "every --snapshot_gap iterations (the reference's "
+                        "mid-fit snapshot block, run_robot.py:224-269) — "
+                        "runs asynchronously on the host backend, no "
+                        "pipeline stall; rows land in result.txt")
     p.add_argument("--save_vis", action="store_true")
     p.add_argument("--trace_dir", default=None, type=str,
                    help="write a jax.profiler device trace of the fit here")
@@ -162,6 +180,15 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     if robot:
         p.add_argument("--normalize_file",
                        default="data/category_normalize_scale.pkl", type=str)
+    p.add_argument("--match_th", default=0.9, type=float,
+                   help="SMNN ratio-test threshold for corr-model matching "
+                        "(reference fixes 0.9, flow_utils.py:116-143; raise "
+                        "toward 1.0 for denser-but-noisier flow anchors)")
+    p.add_argument("--match_disp_gate", default=0.0, type=float,
+                   help="if > 0, drop matches whose displacement exceeds "
+                        "median + this*MAD per frame pair (robust outlier "
+                        "gate, flow.gate_matches_by_displacement); pairs "
+                        "naturally with --match_th near 1.0")
     if domain in ("robot", "real"):
         p.add_argument("--corr_model_path",
                        default="pretrained/corr_model.pth.tar", type=str)
@@ -311,7 +338,9 @@ def setup_flow(args, domain: str, dataset, sample):
     extract_fn = lambda x: apply_pointnet2msg2(corr_params, x)
     centroid, scale = corr_normalization(args, domain, dataset, complete)
     return build_flow_context(complete, extract_fn, centroid=centroid,
-                              scale=scale, matching="smnn")
+                              scale=scale, matching="smnn",
+                              th=getattr(args, "match_th", 0.9),
+                              disp_gate=getattr(args, "match_disp_gate", 0.0))
 
 
 def _corr_training_frames(args):
@@ -395,6 +424,25 @@ def run_train_corr(args):
         log_fn=lambda s, l: print(f"  step {s}/{cfg.steps} loss {l:.3f}",
                                   flush=True))
 
+    if args.self_finetune_steps > 0:
+        from reart_tpu.train.corr import finetune_real_pairs
+
+        print(f"self-finetune on real consecutive pairs: "
+              f"{args.self_finetune_steps} steps, "
+              f"{args.self_finetune_rounds} mining rounds "
+              f"(th {args.self_finetune_th}, real_frac "
+              f"{args.self_finetune_real_frac})")
+        params, ft_losses = finetune_real_pairs(
+            jax.random.fold_in(key, 777), params, frames, cfg,
+            steps=args.self_finetune_steps, mine_th=args.self_finetune_th,
+            rounds=args.self_finetune_rounds,
+            real_frac=args.self_finetune_real_frac,
+            log_fn=lambda r, m: print(
+                f"  mining round {r}: {m:.3f} of points pseudo-labeled",
+                flush=True))
+        losses = jnp.concatenate([jnp.asarray(losses),
+                                  jnp.asarray(ft_losses)])
+
     # post-training evaluation: one-off metrics at new shapes — run on the
     # host backend with host-committed params (CLAUDE.md: post-fit work
     # recompiles remotely per run otherwise, unwatchdogged)
@@ -407,10 +455,10 @@ def run_train_corr(args):
         # held-out synthetic pair through the INFERENCE path (running BN
         # + SMNN); correctness is gt_pos-proximity so it is meaningful for
         # both the identity and the resampled recipe
-        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(10_007),
-                                      jnp.asarray(frames), cfg)
+        src, tgt, gt_pos, s = synth_pair(jax.random.PRNGKey(10_007),
+                                         jnp.asarray(frames), cfg)
         prec, rate = match_precision(params_h, src, tgt, gt_pos=gt_pos,
-                                     pos_radius=cfg.pos_radius)
+                                     pos_radius=cfg.pos_radius * float(s))
         print(f"final loss {losses[-1]:.3f}; held-out synthetic pair: "
               f"SMNN precision {prec:.3f}, match rate {rate:.3f}")
 
@@ -509,11 +557,97 @@ def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
 
 
 # ---------------------------------------------------------------------------
+# mid-fit snapshot metrics (reference run_robot.py:224-269: the i %
+# snapshot_gap block runs the RAW-argmax-seg metrics, no graph stage)
+# ---------------------------------------------------------------------------
+
+def snapshot_metrics_row(domain: str, sample, cano_idx: int, seg_part,
+                         trans_list) -> dict:
+    """One mid-fit metric row on the current forward: flow EPE/acc/angle
+    (robot), RI, recon, CD — exactly the reference's snapshot prints."""
+    from reart_tpu import metrics as M
+    from reart_tpu.models.base_model import compute_pc_transform
+
+    cano_pc = jnp.asarray(sample["cano_pc"], jnp.float32)
+    pred = np.asarray(compute_pc_transform(
+        cano_pc, jnp.asarray(trans_list), jnp.asarray(seg_part)))
+    complete_pred = np.concatenate(
+        [pred[:cano_idx], np.asarray(cano_pc)[None], pred[cano_idx:]], 0)
+    scale = 100.0 if domain == "robot" else 1.0
+    row = {}
+    if domain == "robot" and "gt_flow_list" in sample:
+        pred_flow = complete_pred[1:] - complete_pred[:-1]
+        epe, acc1, acc2, angle = M.eval_flow(
+            pred_flow, sample["gt_flow_list"], 0.005, 0.01)
+        row.update(flow_epe=epe * 100.0, flow_acc5=acc1, flow_acc10=acc2,
+                   flow_angle=angle)
+    if "gt_cano_part" in sample:
+        row["seg_ri"] = M.eval_seg(jnp.asarray(sample["gt_cano_part"]),
+                                   jnp.asarray(seg_part))
+    if "complete_gt_pc_list" in sample:
+        mse = np.sqrt(((complete_pred - sample["complete_gt_pc_list"]) ** 2
+                       ).sum(-1)).mean(1).mean()
+        row["recon_err"] = float(mse) * scale
+    row["cd_err"] = M.compute_chamfer_list(
+        pred, sample["pc_list"], reduction="mean") * scale
+    return row
+
+
+class SnapshotEvaluator:
+    """Asynchronous mid-fit metric evaluation: engine.fit's snapshot_cb runs
+    on the dispatch-issuing thread and must not stall the pipeline, so the
+    callback only transfers the fenced params to host and enqueues them; a
+    worker thread runs the forward + snapshot_metrics_row on the HOST
+    backend (on_host — jax.default_device is thread-local) and collects
+    `iteration N | k: v | ...` rows for result.txt."""
+
+    def __init__(self, domain, sample, cano_idx, forward_of):
+        import queue
+        import threading
+
+        self.rows = []
+        self._q = queue.Queue()
+        self._domain, self._sample = domain, sample
+        self._cano_idx, self._forward_of = cano_idx, forward_of
+        self._t = threading.Thread(target=self._work, daemon=True)
+        self._t.start()
+
+    def callback(self, done, params):
+        self._q.put((done, jax.tree.map(np.asarray, params)))
+
+    def _work(self):
+        from reart_tpu.hostops import on_host
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            done, params_h = item
+            try:
+                with on_host():
+                    seg_part, trans_list = self._forward_of(params_h)
+                    row = snapshot_metrics_row(
+                        self._domain, self._sample, self._cano_idx,
+                        np.asarray(seg_part), np.asarray(trans_list))
+                msg = " | ".join(f"{k}: {v:.3f}" for k, v in row.items())
+                self.rows.append(f"snapshot {done} | {msg}")
+                print(f"[snapshot {done}] {msg}", flush=True)
+            except Exception as e:  # never kill the fit over a metric row
+                print(f"[snapshot {done}] failed: {e}", flush=True)
+
+    def finish(self) -> list:
+        self._q.put(None)
+        self._t.join(timeout=600.0)
+        return self.rows
+
+
+# ---------------------------------------------------------------------------
 # final snapshot: graph extraction + metrics + artifacts
 # ---------------------------------------------------------------------------
 
 def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
-             params, state, save_dir: str, tau: float):
+             params, state, save_dir: str, tau: float,
+             snapshot_rows=None):
     """Everything the reference does at i == n_iter - 1
     (run_robot.py:224-356 and the sapien/real equivalents)."""
     from reart_tpu.graph import (
@@ -692,6 +826,9 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
 
     for k, v in results.items():
         lines.append(f"{k}: {v:.3f}")
+    if snapshot_rows:
+        lines.extend(["", "# mid-fit snapshots (--snapshot_metrics)"]
+                     + list(snapshot_rows))
     with open(os.path.join(save_dir, "result.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
@@ -873,7 +1010,19 @@ def main(argv=None):
     from reart_tpu.profiling import device_trace, phase_report, phase_timer
     import contextlib
 
+    snap_eval = None
     if not args.evaluate:
+        if getattr(args, "snapshot_metrics", False):
+            from reart_tpu.hostops import to_host as _th
+
+            cano_h = _th(cano_pc)
+            state_h = _th(state) if state is not None else None
+            if args.model == "base":
+                fwd_of = lambda p: base_forward(p, cano_h, key, tau=1.0)[1:]
+            else:
+                fwd_of = lambda p: kinematic_forward(p, state_h, cano_h)[1:]
+            snap_eval = SnapshotEvaluator(domain, sample, args.cano_idx,
+                                          fwd_of)
         trace = (device_trace(args.trace_dir) if args.trace_dir
                  else contextlib.nullcontext())
         with phase_timer("fit"), trace:
@@ -881,12 +1030,19 @@ def main(argv=None):
                 params, hist = fit_base(key, params, cfg, cano_pc, pc_list,
                                         flow_ctx=flow_ctx,
                                         log_every=args.snapshot_gap,
-                                        checkpoint_dir=save_dir)
+                                        checkpoint_dir=save_dir,
+                                        snapshot_cb=(snap_eval.callback
+                                                     if snap_eval else None),
+                                        snapshot_every=args.snapshot_gap)
             else:
                 params, hist = fit_kinematic(key, params, state, cfg, pc_list,
                                              flow_ctx=flow_ctx,
                                              log_every=args.snapshot_gap,
-                                             checkpoint_dir=save_dir)
+                                             checkpoint_dir=save_dir,
+                                             snapshot_cb=(
+                                                 snap_eval.callback
+                                                 if snap_eval else None),
+                                             snapshot_every=args.snapshot_gap)
             jax.block_until_ready(hist)
         print(f"fit done: final total_loss {float(hist['total_loss'][-1]):.3f}")
         tau = args.end_tau
@@ -909,6 +1065,7 @@ def main(argv=None):
 
     with phase_timer("finalize"):
         finalize(args, domain, dataset, sample, np.asarray(seg_part),
-                 np.asarray(trans_list), params, state, save_dir, tau)
+                 np.asarray(trans_list), params, state, save_dir, tau,
+                 snapshot_rows=snap_eval.finish() if snap_eval else None)
     print(f"[phases] {phase_report()}")
     print("all done!")

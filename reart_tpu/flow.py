@@ -92,9 +92,41 @@ def compute_corr_masks(norm_pc_list, extract_fn, matching: str = "smnn",
     return jax.vmap(per_pair)(src_feat, tgt_feat)
 
 
+def gate_matches_by_displacement(pcs, tgt_idx, valid, k_mad: float = 6.0):
+    """Robust displacement-outlier filter over per-pair matches.
+
+    A wrong feature match between consecutive frames typically jumps across
+    the object (a displacement far outside the motion distribution), while
+    articulated motion between adjacent frames is bounded. Per frame pair,
+    drop matches whose displacement norm exceeds median + k_mad * MAD of the
+    valid matches (MAD floored at 1% of the pair's median so an all-static
+    pair doesn't zero the gate). Beyond-reference capability (the reference
+    passes every SMNN survivor through, flow_utils.py:116-143) — off by
+    default, enabled with --match_disp_gate.
+
+    pcs (T, N, 3) un-normalized clouds; tgt_idx/valid (T-1, N).
+    Returns the tightened valid mask.
+    """
+    pcs = np.asarray(pcs, np.float32)
+    tgt_idx = np.asarray(tgt_idx)
+    valid = np.asarray(valid).copy()
+    for t in range(pcs.shape[0] - 1):
+        v = valid[t]
+        if v.sum() < 8:
+            continue
+        disp = np.linalg.norm(
+            pcs[t + 1][tgt_idx[t]] - pcs[t], axis=-1)  # (N,)
+        med = np.median(disp[v])
+        mad = np.median(np.abs(disp[v] - med))
+        cut = med + k_mad * max(mad, 0.01 * max(med, 1e-12))
+        valid[t] = v & (disp <= cut)
+    return valid
+
+
 def build_flow_context(complete_pc_list, extract_fn=None, centroid=None,
                        scale=None, matching: str = "smnn", th: float = 0.9,
-                       corr: tuple | None = None) -> FlowContext:
+                       corr: tuple | None = None,
+                       disp_gate: float = 0.0) -> FlowContext:
     """One-time flow-supervision setup (run_robot.py:76-84): match every
     consecutive pair, then anchor flows at the matched source points.
 
@@ -102,6 +134,8 @@ def build_flow_context(complete_pc_list, extract_fn=None, centroid=None,
     its original position). Matching runs on normalized clouds when
     centroid/scale are given. Pass `corr=(tgt_idx, valid)` to reuse
     precomputed correspondences (e.g. an external flow provider).
+    disp_gate > 0 additionally drops displacement outliers (k_mad = the
+    value) — see gate_matches_by_displacement.
     """
     pcs = np.asarray(complete_pc_list, np.float32)
     if corr is None:
@@ -114,6 +148,8 @@ def build_flow_context(complete_pc_list, extract_fn=None, centroid=None,
         tgt_idx, valid = corr
     tgt_idx = np.asarray(tgt_idx)
     valid = np.asarray(valid)
+    if disp_gate > 0.0:
+        valid = gate_matches_by_displacement(pcs, tgt_idx, valid, disp_gate)
 
     pc_refs, flow_refs = [], []
     for t in range(pcs.shape[0] - 1):

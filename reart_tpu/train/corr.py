@@ -78,8 +78,9 @@ class CorrTrainConfig:
     # (gt_pos), gated by pos_radius, and near-misses inside neg_radius are
     # excluded from the negatives (they are almost-correct answers). Trains
     # features that survive resampling — the failure mode of the identity
-    # recipe on real frame pairs (sparse matches, PARITY.md).
-    resample: bool = False
+    # recipe on real frame pairs (sparse matches, PARITY.md). Default True,
+    # matching the CLI (`run.py corr --resample 1`).
+    resample: bool = True
     pos_radius: float = 0.02      # max ||gt_pos - nn(tgt)|| for a positive
     neg_radius: float = 0.05      # no-penalty zone around gt_pos
 
@@ -90,12 +91,14 @@ def synth_pair(key, frames, cfg: CorrTrainConfig):
     frames: (F, N0, 3) clouds ALREADY normalized exactly as inference will
     normalize them (cli.setup_flow passes the category/dataset centroid+scale
     before matching — run_robot.py:72-77). Returns (src (N, 3), tgt (N, 3),
-    gt_pos (N, 3)): gt_pos[i] is src[i]'s TRUE (jitter-free) position in
-    tgt's frame. With cfg.resample=False, tgt is the same point set as src
-    (correspondence src[i] <-> tgt[i], gt_pos ≈ tgt); with resample=True,
-    tgt is an INDEPENDENT subset of the frame moved by the same part/global
-    motion — the identity map does not exist and the loss derives positives
-    from gt_pos (see corr_info_nce)."""
+    gt_pos (N, 3), scale ()): gt_pos[i] is src[i]'s TRUE (jitter-free)
+    position in tgt's frame; scale is the pair's ±scale_jitter rescale factor
+    — radius gates in corr_info_nce must be multiplied by it so gating stays
+    consistent with the un-jittered geometry. With cfg.resample=False, tgt is
+    the same point set as src (correspondence src[i] <-> tgt[i], gt_pos ≈
+    tgt); with resample=True, tgt is an INDEPENDENT subset of the frame moved
+    by the same part/global motion — the identity map does not exist and the
+    loss derives positives from gt_pos (see corr_info_nce)."""
     kf, kp, ks, kk, kax, kan, ktr, kga, kgan, kgt, kj1, kj2, ksc = (
         jax.random.split(key, 13))
     f_count, n0 = frames.shape[0], frames.shape[1]
@@ -105,7 +108,8 @@ def synth_pair(key, frames, cfg: CorrTrainConfig):
     perm = jax.random.permutation(kp, n0)
     x = cloud[perm[:n]]  # (N, 3)
     if cfg.resample:
-        # independent target subset (disjoint when the frame is big enough)
+        # independent target subset — disjoint iff n0 >= 2n (train_corr
+        # warns when the frame is too small and the subsets must overlap)
         x2 = cloud[perm[n0 - n:]]  # (N, 3)
     else:
         x2 = x
@@ -155,7 +159,7 @@ def synth_pair(key, frames, cfg: CorrTrainConfig):
 
     s = jax.random.uniform(ksc, (), minval=1.0 - cfg.scale_jitter,
                            maxval=1.0 + cfg.scale_jitter)
-    return x * s, y * s, gt_pos * s
+    return x * s, y * s, gt_pos * s, s
 
 
 def apply_bn_ema(params, stats, momentum: float):
@@ -184,7 +188,8 @@ def apply_bn_ema(params, stats, momentum: float):
 
 def corr_info_nce(params, src, tgt, temperature: float,
                   compute_dtype: str = "float32", gt_pos=None,
-                  pos_radius: float = 0.02, neg_radius: float = 0.05):
+                  pos_radius: float = 0.02, neg_radius: float = 0.05,
+                  scale=None):
     """Bidirectional InfoNCE.
 
     src/tgt: (B, N, 3). Returns (loss, bn_stats) — the backbone runs ONE
@@ -199,6 +204,11 @@ def corr_info_nce(params, src, tgt, temperature: float,
     with the roles swapped. This is the PPF-FoldNet/FCGF-style
     radius-gated contrastive objective, needed once src and tgt stop
     sharing a point set.
+
+    scale (B,) (optional): the per-pair scale_jitter factor from synth_pair.
+    The coordinates already carry it, so the radius gates are multiplied by
+    it — gating is then exactly scale-invariant relative to the un-jittered
+    geometry instead of tightening/loosening by ±scale_jitter per sample.
 
     compute_dtype="bfloat16" casts weights+activations for the backbone pass
     (MXU 2x rate); master weights stay f32 (autodiff casts grads back), BN
@@ -230,13 +240,17 @@ def corr_info_nce(params, src, tgt, temperature: float,
     # geometric distances from each src point's true position to every tgt
     # point (and transposed for the reverse direction)
     d2 = jnp.sum((gt_pos[:, :, None] - tgt[:, None]) ** 2, -1)  # (B, N, M)
+    s = (jnp.ones((b,), jnp.float32) if scale is None
+         else jnp.asarray(scale, jnp.float32))
+    pos_r2 = (pos_radius * s)[:, None] ** 2                      # (B, 1)
+    neg_r2 = (neg_radius * s)[:, None, None] ** 2                # (B, 1, 1)
 
     def gated_ce(lg, d2):
         pos = jnp.argmin(d2, axis=-1)                            # (B, N)
         dmin = jnp.min(d2, axis=-1)
-        valid = (dmin < pos_radius ** 2).astype(jnp.float32)
+        valid = (dmin < pos_r2).astype(jnp.float32)
         is_pos = jax.nn.one_hot(pos, d2.shape[-1], dtype=jnp.bool_)
-        near = (d2 < neg_radius ** 2) & ~is_pos
+        near = (d2 < neg_r2) & ~is_pos
         lg = jnp.where(near, -1e9, lg)
         return jnp.sum(ce(lg, pos) * valid) / jnp.maximum(
             jnp.sum(valid), 1.0)
@@ -262,7 +276,7 @@ def _train_chunk(cfg: CorrTrainConfig, tx, mesh, params, opt_state, frames,
     def body(carry, key):
         params, opt_state = carry
         pair_keys = jax.random.split(key, cfg.batch)
-        src, tgt, gt_pos = jax.vmap(
+        src, tgt, gt_pos, scale = jax.vmap(
             lambda k: synth_pair(k, frames, cfg))(pair_keys)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -271,11 +285,13 @@ def _train_chunk(cfg: CorrTrainConfig, tx, mesh, params, opt_state, frames,
             src = jax.lax.with_sharding_constraint(src, sh)
             tgt = jax.lax.with_sharding_constraint(tgt, sh)
             gt_pos = jax.lax.with_sharding_constraint(gt_pos, sh)
+            scale = jax.lax.with_sharding_constraint(scale, sh)
         (loss, stats), grads = jax.value_and_grad(
             corr_info_nce, has_aux=True)(params, src, tgt, cfg.temperature,
                                          cfg.compute_dtype,
                                          gt_pos if cfg.resample else None,
-                                         cfg.pos_radius, cfg.neg_radius)
+                                         cfg.pos_radius, cfg.neg_radius,
+                                         scale)
         import optax
 
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -285,6 +301,121 @@ def _train_chunk(cfg: CorrTrainConfig, tx, mesh, params, opt_state, frames,
 
     (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), keys)
     return params, opt_state, losses
+
+
+# --- self-fine-tuning on the sequence's own REAL consecutive pairs ---------
+#
+# The synthetic-deformation recipe trains features that are precise but
+# SPARSE on real frame pairs (PARITY.md round 2: 7.7% SMNN match rate on
+# nao) — real pairs differ from the synthetic distribution (true part
+# boundaries, resampling structure, contact shadows). Close the gap with the
+# classic EM bootstrap: mine the matcher's own high-precision SMNN matches
+# on the real consecutive pairs (the exact matching inference will run),
+# treat the matched target positions as pseudo ground truth, and fine-tune
+# the radius-gated InfoNCE on REAL (src, tgt) clouds, re-mining as features
+# improve. Synthetic pairs keep flowing at `real_frac` mixing so the feature
+# space cannot collapse onto the pseudo-labels. Capability beyond the
+# reference (its corr model is fixed, feature_extractor.py:62-86).
+
+FAR_POS = 1e6  # pseudo-label sentinel: fails every pos_radius gate
+
+
+@partial(jax.jit, static_argnames=("th",))
+def mine_pair_labels(params, frames, th: float = 0.9):
+    """SMNN-match every consecutive frame pair with the CURRENT backbone
+    (frozen running stats — the exact inference-time matching in
+    flow.compute_corr_masks). frames (F, N0, 3) normalized. Returns
+    gt_pos (F-1, N0, 3): src point i's pseudo true position in frame t+1
+    (its matched tgt point), FAR_POS rows where unmatched."""
+    from reart_tpu.flow import match_smnn
+
+    feats = apply_pointnet2msg2(params, frames)  # (F, N0, D)
+
+    def per_pair(f1, f2, tgt_pts):
+        _, j, valid = match_smnn(f1, f2, th)
+        return jnp.where(valid[:, None], tgt_pts[j], FAR_POS)
+
+    return jax.vmap(per_pair)(feats[:-1], feats[1:], frames[1:])
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _finetune_chunk(cfg: CorrTrainConfig, tx, params, opt_state, frames,
+                    gt_pos_all, real_frac, keys):
+    """Scan fine-tuning steps: each batch element is a REAL consecutive pair
+    (random frame pair, independently subsampled src/tgt subsets, mined
+    pseudo gt_pos) with probability real_frac, else a synthetic pair —
+    one loss (the radius-gated corr_info_nce) covers both."""
+    import optax
+
+    f_count, n0 = frames.shape[0], frames.shape[1]
+
+    def body(carry, key):
+        params, opt_state = carry
+
+        def one_pair(k):
+            kp, ks, kt, km, ksy = jax.random.split(k, 5)
+            p = jax.random.randint(kp, (), 0, f_count - 1)
+            si = jax.random.choice(ks, n0, (cfg.n_points,), replace=False)
+            ti = jax.random.choice(kt, n0, (cfg.n_points,), replace=False)
+            src_r = frames[p][si]
+            tgt_r = frames[p + 1][ti]
+            gt_r = gt_pos_all[p][si]
+            src_s, tgt_s, gt_s, sc_s = synth_pair(ksy, frames, cfg)
+            use_real = jax.random.bernoulli(km, real_frac)
+            pick = lambda a, b: jnp.where(use_real, a, b)
+            return (pick(src_r, src_s), pick(tgt_r, tgt_s),
+                    pick(gt_r, gt_s), jnp.where(use_real, 1.0, sc_s))
+
+        src, tgt, gt_pos, scale = jax.vmap(one_pair)(
+            jax.random.split(key, cfg.batch))
+        (loss, stats), grads = jax.value_and_grad(
+            corr_info_nce, has_aux=True)(params, src, tgt, cfg.temperature,
+                                         cfg.compute_dtype, gt_pos,
+                                         cfg.pos_radius, cfg.neg_radius,
+                                         scale)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = apply_bn_ema(params, stats, cfg.bn_momentum)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(body, (params, opt_state),
+                                               keys)
+    return params, opt_state, losses
+
+
+def finetune_real_pairs(key, params, frames,
+                        cfg: CorrTrainConfig = CorrTrainConfig(),
+                        steps: int = 600, mine_th: float = 0.9,
+                        rounds: int = 3, real_frac: float = 0.5,
+                        lr: float | None = None, log_fn=None):
+    """EM-style fine-tuning of a trained backbone on the sequence's own
+    consecutive frame pairs (see module comment above). Returns
+    (params, losses (steps,)). `rounds` re-minings; `mine_th` is the SMNN
+    ratio threshold for pseudo-labels (keep conservative: wrong labels
+    poison the gate); lr defaults to 0.3x the training lr."""
+    import optax
+
+    frames = jnp.asarray(frames, jnp.float32)
+    assert frames.shape[0] >= 2, "need at least one consecutive pair"
+    tx = optax.adam(cfg.lr * 0.3 if lr is None else lr)
+    opt_state = tx.init(params)
+    per_round = -(-steps // max(rounds, 1))
+    rf = jnp.float32(real_frac)
+    losses = []
+    for r in range(max(rounds, 1)):
+        gt_pos_all = mine_pair_labels(params, frames, th=mine_th)
+        if log_fn is not None:
+            matched = float(jnp.mean(
+                (gt_pos_all[..., 0] < FAR_POS / 2).astype(jnp.float32)))
+            log_fn(r, matched)
+        for start in range(0, per_round, cfg.dispatch_chunk):
+            n = min(cfg.dispatch_chunk, per_round - start)
+            keys = jax.random.split(
+                jax.random.fold_in(key, r * 100_003 + start), n)
+            params, opt_state, ls = _finetune_chunk(
+                cfg, tx, params, opt_state, frames, gt_pos_all, rf, keys)
+            losses.append(ls)
+    return params, (jnp.concatenate(losses) if losses else jnp.zeros(0))
 
 
 def _save_train_ckpt(path, params, opt_state, key, done, losses):
@@ -336,6 +467,16 @@ def train_corr(key, frames, cfg: CorrTrainConfig = CorrTrainConfig(),
         frames = frames[: cfg.seed_frames]
     assert frames.shape[1] >= cfg.n_points, (
         f"frames have {frames.shape[1]} points, need >= {cfg.n_points}")
+    if cfg.resample and 2 * cfg.n_points > frames.shape[1]:
+        import warnings
+
+        warnings.warn(
+            f"resample=True with n_points={cfg.n_points} but frames of only "
+            f"{frames.shape[1]} points: src/tgt subsets overlap by "
+            f"{2 * cfg.n_points - frames.shape[1]} points (at n_points == "
+            f"frame size, tgt is a permutation of src and the 'independent "
+            f"sampling' premise is gone). Lower n_points or resample.",
+            stacklevel=2)
     if mesh is not None:
         assert cfg.batch % mesh.shape["seq"] == 0, (
             f"batch {cfg.batch} not divisible by mesh seq={mesh.shape['seq']}")

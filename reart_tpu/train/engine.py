@@ -529,8 +529,17 @@ def fit(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 2000,
     max_retries: int = 2,
+    snapshot_cb=None,
+    snapshot_every: int | None = None,
 ):
     """Run the full per-sequence fit. Returns (params, history dict).
+
+    snapshot_cb(done: int, params): called at every dispatch boundary that
+    crosses a snapshot_every multiple, with the FENCED device params at that
+    point — the reference's mid-fit snapshot hook (run_robot.py:224-269).
+    The callback runs on the dispatch-issuing thread: do the cheap transfer
+    there and push real evaluation work to a worker (see cli.py
+    --snapshot_metrics) or the pipeline stalls.
 
     history holds per-iteration float32 scalars: total_loss, recon_loss,
     ass_loss, flow_loss (zeros where a term is inactive) — the reference's
@@ -558,6 +567,13 @@ def fit(
         last = {k: float(v.reshape(-1)[-1]) for k, v in h.items()}
         msg = " | ".join(f"{k}: {v:.3f}" for k, v in last.items() if v != 0.0)
         print(f"iteration {min(done, cfg.n_iter) - 1} | {msg}", flush=True)
+
+    def _snapshot(done, step_sz, params):
+        if snapshot_cb is None:
+            return
+        se = max(snapshot_every or cfg.n_iter, 1)
+        if done // se != (done - step_sz) // se and done < cfg.n_iter:
+            snapshot_cb(min(done, cfg.n_iter), params)
 
     def _pipelined(starts, state, dispatch_one, on_fenced):
         return run_chunks_pipelined(
@@ -633,6 +649,7 @@ def fit(
             hs.append(h)
             done = min(start + chunk, n_recon)
             _log(h, start + chunk, chunk)
+            _snapshot(start + chunk, chunk, st[0])
             if ckpt_path and done - last_saved >= checkpoint_every:
                 _save_state(done, st[0], st[1], None, history + hs)
                 last_saved = done
@@ -670,6 +687,8 @@ def fit(
             hs.append(jax.tree.map(lambda v: v.reshape(-1), h))
             done = min(n_recon + (start + outer_chunk) * gap, cfg.n_iter)
             _log(h, n_recon + (start + outer_chunk) * gap, outer_chunk * gap)
+            _snapshot(n_recon + (start + outer_chunk) * gap,
+                      outer_chunk * gap, st[0])
             if ckpt_path and done - last_saved >= checkpoint_every:
                 _save_state(done, st[0], st[1], st[2], history + hs)
                 last_saved = done
@@ -711,19 +730,23 @@ def _kinematic_forward_fn(params, key, tau, cano_pc, fwd_ctx):
 
 
 def fit_base(key, params, cfg, cano_pc, pc_list, flow_ctx=None,
-             log_every=None, checkpoint_dir=None):
+             log_every=None, checkpoint_dir=None, snapshot_cb=None,
+             snapshot_every=None):
     """Relaxation-stage fit (reference `--model=base`)."""
     cano = jnp.asarray(cano_pc, jnp.float32)
     return fit(key, _base_forward_fn, params, cfg, cano, pc_list,
                flow_ctx=flow_ctx, two_group_opt=True, log_every=log_every,
-               checkpoint_dir=checkpoint_dir)
+               checkpoint_dir=checkpoint_dir, snapshot_cb=snapshot_cb,
+               snapshot_every=snapshot_every)
 
 
 def fit_kinematic(key, params, state, cfg, pc_list, flow_ctx=None,
-                  log_every=None, checkpoint_dir=None):
+                  log_every=None, checkpoint_dir=None, snapshot_cb=None,
+                  snapshot_every=None):
     """Projection-stage fit (reference `--model=kinematic`): same loss stack,
     Adam over all params at trans_lr (run_robot.py:150-151)."""
     return fit(key, _kinematic_forward_fn, params, cfg, state.cano_pc,
                pc_list, flow_ctx=flow_ctx, fwd_ctx=state,
                two_group_opt=False, log_every=log_every,
-               checkpoint_dir=checkpoint_dir)
+               checkpoint_dir=checkpoint_dir, snapshot_cb=snapshot_cb,
+               snapshot_every=snapshot_every)

@@ -84,7 +84,8 @@ def main():
         return (float(np.mean(rates)), float(np.mean(precs2)),
                 float(np.mean(precs5)), float(np.nanmean(epes)))
 
-    base = CorrTrainConfig(steps=STEPS, batch=4, n_points=1024)
+    base = CorrTrainConfig(steps=STEPS, batch=4, n_points=1024,
+                           resample=False)
     cfgs = {
         "A identity ": base,
         "B resampled": dataclasses.replace(base, resample=True),
@@ -97,7 +98,8 @@ def main():
         held = synth_pair(jax.random.PRNGKey(10_007), frames_j,
                           dataclasses.replace(cfg, resample=True))
         hp, hr = match_precision(params, held[0], held[1], th=1.0,
-                                 gt_pos=held[2], pos_radius=0.02)
+                                 gt_pos=held[2],
+                                 pos_radius=0.02 * float(held[3]))
         rate, p2, p5, epe = real_pair_stats(params)
         print(f"{name}: {STEPS} steps in {dt:.0f}s, final loss "
               f"{float(losses[-1]):.3f}\n"

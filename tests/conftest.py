@@ -59,3 +59,69 @@ requires_reference = pytest.mark.skipif(
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def robot_dir(tmp_path_factory):
+    """3-part robot (base + 2 hinged arms), 4 frames, 360 points, GT graph —
+    a reference-format sequence on disk, shared by the CLI e2e tests and the
+    reverse-parity harness test."""
+    import pickle
+
+    import networkx as nx
+
+    from reart_tpu.data.common import Node  # pickle-compatible GT graph node
+
+    def rotz(a):
+        return np.array([
+            [np.cos(a), -np.sin(a), 0, 0],
+            [np.sin(a), np.cos(a), 0, 0],
+            [0, 0, 1, 0],
+            [0, 0, 0, 1],
+        ])
+
+    root = tmp_path_factory.mktemp("toyrobot")
+    rs = np.random.RandomState(0)
+    n_per = 120
+    base = rs.uniform([-0.3, -0.5, -0.2], [0.3, 0.5, 0.2], (n_per, 3))
+    arm_l = rs.uniform([-1.0, 0.2, -0.1], [-0.3, 0.45, 0.1], (n_per, 3))
+    arm_r = rs.uniform([0.3, 0.2, -0.1], [1.0, 0.45, 0.1], (n_per, 3))
+    cano = np.concatenate([base, arm_l, arm_r])
+    part_id = np.repeat([0, 1, 2], n_per)
+
+    def pose_dict(i):
+        # part 0 static; parts 1/2 rotate about z hinges
+        return {0: np.eye(4), 1: rotz(0.25 * i), 2: rotz(-0.2 * i)}
+
+    def apply(pose, pts):
+        homo = np.concatenate([pts, np.ones((len(pts), 1))], 1)
+        return (homo @ pose.T)[:, :3]
+
+    for i in range(4):
+        poses = pose_dict(i)
+        pc = cano.copy()
+        for pid in (0, 1, 2):
+            sel = part_id == pid
+            pc[sel] = apply(poses[pid], pc[sel])
+        with open(root / f"state_{i}.pkl", "wb") as f:
+            pickle.dump({"pc": pc, "part_id": part_id}, f)
+        if i > 0:
+            with open(root / f"pose_{i}.pkl", "wb") as f:
+                pickle.dump(poses, f)
+    # one novel pose for IK retargeting
+    with open(root / "novel_pose_0.pkl", "wb") as f:
+        pickle.dump(pose_dict(5), f)
+
+    # GT graph: arms are children of the base
+    nodes = {pid: Node([f"link_{pid}"]) for pid in (0, 1, 2)}
+    g = nx.DiGraph()
+    g.add_edge(nodes[1], nodes[0])
+    g.add_edge(nodes[2], nodes[0])
+    with open(root / "graph.gpickle", "wb") as f:
+        pickle.dump(g, f)
+    with open(root / "part_mapping.pkl", "wb") as f:
+        pickle.dump({
+            "face_part_mapping": {},
+            "node_part_mapping": {pid: [f"link_{pid}"] for pid in (0, 1, 2)},
+        }, f)
+    return str(root)

@@ -37,8 +37,8 @@ class TestSynthPair:
     def test_shapes_and_determinism(self, frames):
         cfg = CorrTrainConfig(n_points=256)
         key = jax.random.PRNGKey(3)
-        src, tgt, gt_pos = synth_pair(key, frames, cfg)
-        src2, tgt2, _ = synth_pair(key, frames, cfg)
+        src, tgt, gt_pos, _ = synth_pair(key, frames, cfg)
+        src2, tgt2, _, _ = synth_pair(key, frames, cfg)
         assert gt_pos.shape == (256, 3)
         assert src.shape == tgt.shape == (256, 3)
         assert np.isfinite(np.asarray(src)).all()
@@ -46,14 +46,15 @@ class TestSynthPair:
         np.testing.assert_array_equal(np.asarray(src), np.asarray(src2))
         np.testing.assert_array_equal(np.asarray(tgt), np.asarray(tgt2))
         # different keys give different pairs
-        src3, _, _ = synth_pair(jax.random.PRNGKey(4), frames, cfg)
+        src3, _, _, _ = synth_pair(jax.random.PRNGKey(4), frames, cfg)
         assert np.abs(np.asarray(src) - np.asarray(src3)).max() > 1e-3
 
     def test_identity_when_motion_off(self, frames):
-        cfg = CorrTrainConfig(n_points=128, max_angle=0.0, max_slide=0.0,
+        cfg = CorrTrainConfig(n_points=128, resample=False,
+                              max_angle=0.0, max_slide=0.0,
                               jitter=0.0, global_angle=0.0, global_slide=0.0,
                               scale_jitter=0.0)
-        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(0), frames, cfg)
+        src, tgt, gt_pos, _ = synth_pair(jax.random.PRNGKey(0), frames, cfg)
         np.testing.assert_allclose(np.asarray(src), np.asarray(tgt),
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(gt_pos), np.asarray(tgt),
@@ -63,11 +64,12 @@ class TestSynthPair:
         """With jitter/global motion off, every point's displacement must be
         explained by one of k_parts rigid transforms: distances WITHIN a
         Voronoi cell are preserved."""
-        cfg = CorrTrainConfig(n_points=200, jitter=0.0, global_angle=0.0,
+        cfg = CorrTrainConfig(n_points=200, resample=False,
+                              jitter=0.0, global_angle=0.0,
                               global_slide=0.0, scale_jitter=0.0,
                               max_angle=0.5, max_slide=0.1, k_parts=4,
                               min_parts=4)
-        src, tgt, _ = synth_pair(jax.random.PRNGKey(1), frames, cfg)
+        src, tgt, _, _ = synth_pair(jax.random.PRNGKey(1), frames, cfg)
         src, tgt = np.asarray(src), np.asarray(tgt)
         # rigid motions preserve ALL pairwise distances within a part; points
         # whose distance changed are in different parts. Check the converse
@@ -114,11 +116,11 @@ class TestTraining:
     @pytest.mark.slow
     def test_short_training_improves_matching(self, frames):
         cfg = CorrTrainConfig(steps=8, batch=2, n_points=512,
-                              dispatch_chunk=4)
+                              dispatch_chunk=4, resample=False)
         key = jax.random.PRNGKey(0)
         init_params = init_pointnet2msg2(jax.random.PRNGKey(42))
-        held_src, held_tgt, _ = synth_pair(jax.random.PRNGKey(999), frames,
-                                           cfg)
+        held_src, held_tgt, _, _ = synth_pair(jax.random.PRNGKey(999),
+                                              frames, cfg)
         # th=1.0 disables the SNN ratio filter: precision is then plain
         # mutual-NN accuracy, a much more discriminative probe than the
         # ratio-gated SMNN precision (random features pass the ratio test
@@ -241,8 +243,8 @@ class TestResampledRecipe:
     positives are radius-gated geometric NNs of gt_pos (train/corr.py)."""
 
     def test_gt_pos_tracks_tgt_within_jitter(self, frames):
-        cfg = CorrTrainConfig(n_points=128)  # identity recipe
-        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(5), frames, cfg)
+        cfg = CorrTrainConfig(n_points=128, resample=False)  # identity
+        src, tgt, gt_pos, _ = synth_pair(jax.random.PRNGKey(5), frames, cfg)
         # tgt = gt_pos + jitter*normal (then shared scale): bounded gap
         gap = np.linalg.norm(np.asarray(tgt) - np.asarray(gt_pos), axis=-1)
         assert gap.max() < 8 * cfg.jitter
@@ -251,7 +253,7 @@ class TestResampledRecipe:
         cfg = CorrTrainConfig(n_points=300, resample=True, jitter=0.0,
                               max_angle=0.0, max_slide=0.0, global_angle=0.0,
                               global_slide=0.0, scale_jitter=0.0)
-        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(2), frames, cfg)
+        src, tgt, gt_pos, _ = synth_pair(jax.random.PRNGKey(2), frames, cfg)
         src, tgt, gt_pos = map(np.asarray, (src, tgt, gt_pos))
         # with all motion off, gt_pos is src itself...
         np.testing.assert_allclose(gt_pos, src, atol=1e-6)
@@ -265,9 +267,9 @@ class TestResampledRecipe:
         radius-gated loss must equal the diagonal-label loss exactly."""
         from reart_tpu.train.corr import corr_info_nce
 
-        cfg = CorrTrainConfig(n_points=128, jitter=0.0)
+        cfg = CorrTrainConfig(n_points=128, jitter=0.0, resample=False)
         params = init_pointnet2msg2(jax.random.PRNGKey(0))
-        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(3), frames, cfg)
+        src, tgt, gt_pos, _ = synth_pair(jax.random.PRNGKey(3), frames, cfg)
         src, tgt, gt_pos = src[None], tgt[None], gt_pos[None]
         l_diag, _ = corr_info_nce(params, src, tgt, 0.07)
         l_gated, _ = corr_info_nce(params, src, tgt, 0.07, gt_pos=gt_pos,
@@ -282,7 +284,7 @@ class TestResampledRecipe:
 
         cfg = CorrTrainConfig(n_points=128, resample=True)
         params = init_pointnet2msg2(jax.random.PRNGKey(0))
-        src, tgt, gt_pos = synth_pair(jax.random.PRNGKey(4), frames, cfg)
+        src, tgt, gt_pos, _ = synth_pair(jax.random.PRNGKey(4), frames, cfg)
         src, tgt, gt_pos = src[None], tgt[None], gt_pos[None]
 
         def loss_at(neg_r):
@@ -303,14 +305,33 @@ class TestResampledRecipe:
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(g))
 
+    def test_gating_scales_with_pair_scale(self, frames):
+        """The radius gates must follow the pair's scale_jitter factor:
+        passing scale=s is exactly equivalent to folding s into the radii
+        (so gating is consistent with the un-jittered geometry)."""
+        from reart_tpu.train.corr import corr_info_nce
+
+        cfg = CorrTrainConfig(n_points=128, resample=True)
+        params = init_pointnet2msg2(jax.random.PRNGKey(0))
+        src, tgt, gt_pos, _ = synth_pair(jax.random.PRNGKey(6), frames, cfg)
+        s = 1.37
+        src, tgt, gt_pos = src[None] * s, tgt[None] * s, gt_pos[None] * s
+        l_scaled, _ = corr_info_nce(params, src, tgt, 0.07, gt_pos=gt_pos,
+                                    pos_radius=0.05, neg_radius=0.1,
+                                    scale=jnp.array([s]))
+        l_folded, _ = corr_info_nce(params, src, tgt, 0.07, gt_pos=gt_pos,
+                                    pos_radius=0.05 * s, neg_radius=0.1 * s)
+        np.testing.assert_allclose(float(l_scaled), float(l_folded),
+                                   rtol=1e-6)
+
     @pytest.mark.slow
     def test_resampled_training_improves_matching(self, frames):
         cfg = CorrTrainConfig(steps=8, batch=2, n_points=512,
                               dispatch_chunk=4, resample=True,
                               pos_radius=0.1, neg_radius=0.2)
         init_params = init_pointnet2msg2(jax.random.PRNGKey(42))
-        held_src, held_tgt, held_gt = synth_pair(jax.random.PRNGKey(999),
-                                                 frames, cfg)
+        held_src, held_tgt, held_gt, _ = synth_pair(
+            jax.random.PRNGKey(999), frames, cfg)
         prec0, _ = match_precision(init_params, held_src, held_tgt, th=1.0,
                                    gt_pos=held_gt, pos_radius=0.1)
         params, losses = train_corr(jax.random.PRNGKey(0), frames, cfg)
@@ -319,3 +340,50 @@ class TestResampledRecipe:
         prec1, _ = match_precision(params, held_src, held_tgt, th=1.0,
                                    gt_pos=held_gt, pos_radius=0.1)
         assert prec1 > prec0
+
+
+class TestSelfFinetune:
+    """Pseudo-label mining + real-pair fine-tuning (round-3 density work,
+    train/corr.py: mine_pair_labels / finetune_real_pairs)."""
+
+    def test_mine_labels_identical_frames(self, frames):
+        """Two identical frames: every point's feature matches itself
+        exactly (ratio 0), so mining labels every point with its own
+        position."""
+        from reart_tpu.train.corr import FAR_POS, mine_pair_labels
+
+        params = init_pointnet2msg2(jax.random.PRNGKey(0))
+        two = jnp.stack([frames[0], frames[0]])
+        gt_pos = np.asarray(mine_pair_labels(params, two, th=0.9))
+        assert gt_pos.shape == (1,) + tuple(frames[0].shape)
+        labeled = gt_pos[0, :, 0] < FAR_POS / 2
+        assert labeled.mean() > 0.95
+        np.testing.assert_allclose(gt_pos[0][labeled],
+                                   np.asarray(frames[0])[labeled], atol=1e-6)
+
+    def test_mine_labels_unrelated_frames_sparse(self, frames):
+        """Unrelated clouds mine (almost) no labels — the multi-sequence
+        pooling boundary case stays safe."""
+        from reart_tpu.train.corr import FAR_POS, mine_pair_labels
+
+        params = init_pointnet2msg2(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(7)
+        other = jnp.asarray(rng.randn(*frames[0].shape).astype(np.float32))
+        two = jnp.stack([frames[0], other])
+        gt_pos = np.asarray(mine_pair_labels(params, two, th=0.9))
+        assert (gt_pos[0, :, 0] < FAR_POS / 2).mean() < 0.2
+
+    def test_finetune_runs_and_updates(self, frames):
+        from reart_tpu.train.corr import finetune_real_pairs
+
+        cfg = CorrTrainConfig(batch=2, n_points=128, dispatch_chunk=2)
+        params = init_pointnet2msg2(jax.random.PRNGKey(0))
+        out, losses = finetune_real_pairs(
+            jax.random.PRNGKey(1), params, frames, cfg, steps=4, rounds=2)
+        assert np.isfinite(np.asarray(losses)).all()
+        # at least one weight tensor moved
+        moved = any(
+            np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+            for a, b in zip(jax.tree_util.tree_leaves(params),
+                            jax.tree_util.tree_leaves(out)))
+        assert moved

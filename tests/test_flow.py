@@ -114,3 +114,38 @@ class TestFlowContext:
         pcs = rng.randn(3, 64, 3).astype(np.float32)
         idx, valid = compute_corr_masks(pcs, lambda x: x, matching="mnn")
         assert idx.shape == (2, 64) and valid.shape == (2, 64)
+
+
+class TestDisplacementGate:
+    def test_drops_outlier_keeps_inliers(self):
+        """An injected cross-body jump is dropped; coherent small motions
+        survive (flow.gate_matches_by_displacement, round-3 density work)."""
+        from reart_tpu.flow import gate_matches_by_displacement
+
+        rng = np.random.RandomState(0)
+        n = 256
+        pc0 = rng.randn(n, 3).astype(np.float32)
+        pc1 = pc0 + 0.01  # coherent small motion, identity correspondence
+        pcs = np.stack([pc0, pc1])
+        tgt_idx = np.arange(n)[None]           # (1, N)
+        valid = np.ones((1, n), bool)
+        # corrupt one match: point 7 "matches" the farthest-away point
+        far = np.argmax(np.linalg.norm(pc1 - pc0[7], axis=-1))
+        tgt_idx = tgt_idx.copy()
+        tgt_idx[0, 7] = far
+        out = gate_matches_by_displacement(pcs, tgt_idx, valid, k_mad=6.0)
+        assert not out[0, 7]
+        assert out[0].sum() == n - 1  # nothing else dropped
+
+    def test_gate_off_by_default_in_build(self):
+        """build_flow_context(disp_gate=0) must not alter matches (parity
+        default)."""
+        from reart_tpu.flow import build_flow_context as bfc
+
+        rng = np.random.RandomState(2)
+        base = rng.randn(64, 3).astype(np.float32)
+        pcs = np.stack([base, base + 0.01])
+        a = bfc(pcs, extract_fn=lambda x: x)
+        b = bfc(pcs, extract_fn=lambda x: x, disp_gate=0.0)
+        np.testing.assert_array_equal(np.asarray(a.pc_ref),
+                                      np.asarray(b.pc_ref))
