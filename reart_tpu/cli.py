@@ -170,6 +170,10 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                         "user run one process per candidate)")
     p.add_argument("--auto_cano_iters", default=None, type=int,
                    help="selection-fit iterations (default n_iter // 10)")
+    p.add_argument("--frame_shard", default="auto", choices=["auto", "off"],
+                   help="shard THIS sequence's frames over all visible "
+                        "devices during the fit (SURVEY §2.7 shard_map-over-T;"
+                        " auto = on when >1 device and T divides evenly)")
     # reference-surface flags that are no-ops here (the LAP runs on-device /
     # logging is already quiet), accepted for drop-in compatibility
     p.add_argument("--use_nproc", action="store_true",
@@ -1025,6 +1029,11 @@ def main(argv=None):
                                           fwd_of)
         trace = (device_trace(args.trace_dir) if args.trace_dir
                  else contextlib.nullcontext())
+        fit_mesh = None
+        if getattr(args, "frame_shard", "auto") == "auto" \
+                and jax.device_count() > 1:
+            from reart_tpu.parallel import make_mesh
+            fit_mesh = make_mesh(seq=1, frame=jax.device_count())
         with phase_timer("fit"), trace:
             if args.model == "base":
                 params, hist = fit_base(key, params, cfg, cano_pc, pc_list,
@@ -1033,7 +1042,8 @@ def main(argv=None):
                                         checkpoint_dir=save_dir,
                                         snapshot_cb=(snap_eval.callback
                                                      if snap_eval else None),
-                                        snapshot_every=args.snapshot_gap)
+                                        snapshot_every=args.snapshot_gap,
+                                        mesh=fit_mesh)
             else:
                 params, hist = fit_kinematic(key, params, state, cfg, pc_list,
                                              flow_ctx=flow_ctx,
@@ -1042,7 +1052,8 @@ def main(argv=None):
                                              snapshot_cb=(
                                                  snap_eval.callback
                                                  if snap_eval else None),
-                                             snapshot_every=args.snapshot_gap)
+                                             snapshot_every=args.snapshot_gap,
+                                             mesh=fit_mesh)
             jax.block_until_ready(hist)
         print(f"fit done: final total_loss {float(hist['total_loss'][-1]):.3f}")
         tau = args.end_tau

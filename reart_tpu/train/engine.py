@@ -531,6 +531,7 @@ def fit(
     max_retries: int = 2,
     snapshot_cb=None,
     snapshot_every: int | None = None,
+    mesh=None,
 ):
     """Run the full per-sequence fit. Returns (params, history dict).
 
@@ -540,6 +541,15 @@ def fit(
     The callback runs on the dispatch-issuing thread: do the cheap transfer
     there and push real evaluation work to a worker (see cli.py
     --snapshot_metrics) or the pipeline stalls.
+
+    mesh: a jax.sharding.Mesh with a "frame" axis shards THIS single
+    sequence's per-frame state (pc_list, proposals, flow/assign contexts,
+    auction prices) over devices — SURVEY §2.7's "shard_map over T": every
+    loss reduces over frames, so GSPMD turns the reductions into psums over
+    ICI and the per-frame forward/backward runs fully parallel. Requires
+    pc_list.shape[0] divisible by the mesh's "frame" size (the fit falls
+    back to single-device placement otherwise, with a notice). Semantics
+    are unchanged — asserted in tests/test_parallel.py.
 
     history holds per-iteration float32 scalars: total_loss, recon_loss,
     ass_loss, flow_loss (zeros where a term is inactive) — the reference's
@@ -604,8 +614,39 @@ def fit(
 
     cano_pc = jnp.asarray(cano_pc, jnp.float32)
     pc_list = jnp.asarray(pc_list, jnp.float32)
+
+    t_lead = pc_list.shape[0]
+    mesh_frame = None
+    if mesh is not None and mesh.shape.get("frame", 1) > 1:
+        if t_lead % mesh.shape["frame"] == 0:
+            mesh_frame = mesh
+        else:
+            print(f"[fit] frame mesh ignored: {t_lead} frames not divisible "
+                  f"by mesh frame={mesh.shape['frame']}", flush=True)
+
+    def _shard_frames(tree):
+        """Commit every leaf with a leading frame axis to P('frame'), the
+        rest replicated — jit then compiles one SPMD program over the mesh
+        (loss reductions over frames become psums)."""
+        if mesh_frame is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x):
+            if not hasattr(x, "ndim"):
+                return x
+            spec = (P("frame") if x.ndim >= 1 and x.shape[0] == t_lead
+                    else P())
+            return jax.device_put(x, NamedSharding(mesh_frame, spec))
+
+        return jax.tree.map(put, tree)
+
+    params = _shard_frames(params)
+    pc_list, cano_pc = _shard_frames(pc_list), _shard_frames(cano_pc)
+    flow_ctx = _shard_frames(flow_ctx) if flow_ctx is not None else None
+    fwd_ctx = _shard_frames(fwd_ctx) if fwd_ctx is not None else None
     tx = make_optimizer(params, cfg, two_groups=two_group_opt)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params)  # zeros_like(params): inherits the sharding
     # cano_idx is a TRACED argument of the compiled programs (selection
     # sweeps reuse one program across candidate frames) — normalize it out
     # of the cache key
@@ -624,10 +665,11 @@ def fit(
         with open(ckpt_path, "rb") as f:
             saved = pickle.load(f)
         resume_done = saved["done"]
-        params = jax.tree.map(jnp.asarray, saved["params"])
-        opt_state = jax.tree.map(jnp.asarray, saved["opt_state"])
+        params = _shard_frames(jax.tree.map(jnp.asarray, saved["params"]))
+        opt_state = _shard_frames(
+            jax.tree.map(jnp.asarray, saved["opt_state"]))
         price = (None if saved["price"] is None
-                 else jnp.asarray(saved["price"]))
+                 else _shard_frames(jnp.asarray(saved["price"])))
         history = [jax.tree.map(jnp.asarray, h) for h in saved["history"]]
         print(f"[fit] resuming from iteration {resume_done}", flush=True)
 
@@ -662,7 +704,8 @@ def fit(
         history.append(h)
 
     if use_assign and cfg.n_iter > n_recon:
-        actx = build_assign_context(cano_pc, pc_list, cfg.downsample)
+        actx = _shard_frames(
+            build_assign_context(cano_pc, pc_list, cfg.downsample))
         assign_resume = max(0, resume_done - n_recon)
         remaining = cfg.n_iter - n_recon
         gap = max(1, cfg.assign_gap)
@@ -671,7 +714,7 @@ def fit(
         outer_chunk = max(1, chunk // gap)
         t_frames, num_fps = actx.pc_tgt.shape[:2]
         if price is None:
-            price = jnp.zeros((t_frames, num_fps), jnp.float32)
+            price = _shard_frames(jnp.zeros((t_frames, num_fps), jnp.float32))
         hs = []
 
         def dispatch_assign(start, st):
@@ -731,22 +774,22 @@ def _kinematic_forward_fn(params, key, tau, cano_pc, fwd_ctx):
 
 def fit_base(key, params, cfg, cano_pc, pc_list, flow_ctx=None,
              log_every=None, checkpoint_dir=None, snapshot_cb=None,
-             snapshot_every=None):
+             snapshot_every=None, mesh=None):
     """Relaxation-stage fit (reference `--model=base`)."""
     cano = jnp.asarray(cano_pc, jnp.float32)
     return fit(key, _base_forward_fn, params, cfg, cano, pc_list,
                flow_ctx=flow_ctx, two_group_opt=True, log_every=log_every,
                checkpoint_dir=checkpoint_dir, snapshot_cb=snapshot_cb,
-               snapshot_every=snapshot_every)
+               snapshot_every=snapshot_every, mesh=mesh)
 
 
 def fit_kinematic(key, params, state, cfg, pc_list, flow_ctx=None,
                   log_every=None, checkpoint_dir=None, snapshot_cb=None,
-                  snapshot_every=None):
+                  snapshot_every=None, mesh=None):
     """Projection-stage fit (reference `--model=kinematic`): same loss stack,
     Adam over all params at trans_lr (run_robot.py:150-151)."""
     return fit(key, _kinematic_forward_fn, params, cfg, state.cano_pc,
                pc_list, flow_ctx=flow_ctx, fwd_ctx=state,
                two_group_opt=False, log_every=log_every,
                checkpoint_dir=checkpoint_dir, snapshot_cb=snapshot_cb,
-               snapshot_every=snapshot_every)
+               snapshot_every=snapshot_every, mesh=mesh)

@@ -174,3 +174,46 @@ def test_profiling_phase_timer(capsys):
         pass
     rep = phase_report()
     assert "unit-test-phase" in rep and rep["unit-test-phase"] >= 0.0
+
+
+class TestFrameShardedFit:
+    """engine.fit with a 'frame' mesh (round-3, VERDICT r2 #6): one
+    sequence's per-frame state sharded over devices through the REAL
+    compiled phase scans — semantics identical to single-device."""
+
+    def _run(self, mesh, t=4, use_assign=True):
+        from reart_tpu.models.base_model import init_base_params
+        from reart_tpu.train import FitConfig
+        from reart_tpu.train.engine import fit_base
+
+        n, p = 64, 3
+        rng = np.random.RandomState(0)
+        cano = rng.randn(n, 3).astype(np.float32)
+        pcs = np.stack([cano + 0.02 * i for i in range(t)]).astype(np.float32)
+        cfg = FitConfig(n_iter=4, assign_iter=2, use_assign_loss=use_assign,
+                        downsample=1, dispatch_chunk=2, assign_gap=1,
+                        start_tau=1.0, end_tau=1.0)
+        params = init_base_params(jax.random.PRNGKey(1), p, t)
+        out, hist = fit_base(jax.random.PRNGKey(0), params, cfg, cano, pcs,
+                             mesh=mesh)
+        return out, np.asarray(hist["total_loss"])
+
+    def test_matches_single_device(self):
+        _, sharded = self._run(make_mesh(4, seq=1, frame=4))
+        params, single = self._run(None)
+        np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=1e-5)
+
+    def test_params_sharded_over_frames(self):
+        """The proposal tensors must actually ride the frame axis."""
+        mesh = make_mesh(4, seq=1, frame=4)
+        params, _ = self._run(mesh)
+        sh = params["proposal_6d"].sharding
+        assert "frame" in getattr(sh, "spec", ()) or any(
+            s == "frame" for s in sh.spec), sh
+
+    def test_non_divisible_falls_back(self, capsys):
+        """3 frames on a frame=2 mesh: the fit proceeds single-placement
+        with a notice instead of crashing."""
+        _, losses = self._run(make_mesh(2, seq=1, frame=2), t=3)
+        assert np.isfinite(losses).all()
+        assert "frame mesh ignored" in capsys.readouterr().out
