@@ -148,6 +148,11 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                    help="column-window width of the banded LAP for giant "
                         "(>1024^2) assignment problems; -1 = auto (n//4 "
                         "clamped to [512, 1024]), 0 = dense path")
+    p.add_argument("--assign_band_guard", default=0.05, type=float,
+                   help="auto-band quality guard: solve the first "
+                        "assignment problem both banded and dense and fall "
+                        "back to dense when the banded matched cost is worse "
+                        "by more than this fraction (0 disables)")
     p.add_argument("--lambda_assign", default=3e-1, type=float)
     p.add_argument("--lambda_flow", default=1.0, type=float)
     p.add_argument("--lambda_joint", default=100.0 if robot else 1e-1, type=float)
@@ -253,6 +258,7 @@ def fit_config(args, domain: str):
         cano_idx=args.cano_idx,
         assign_sweeps=args.assign_sweeps,
         assign_band=args.assign_band,
+        assign_band_guard=args.assign_band_guard,
         dispatch_chunk=args.dispatch_chunk,
         pipeline_depth=args.pipeline_depth,
     )

@@ -279,6 +279,58 @@ def banded_points_available(n: int, m: int, band: int) -> bool:
     return band > 0 and banded_available(n, m, band)
 
 
+def _curve_sort(pc_src, pc_tgt, band: int, curve: str | None):
+    """Space-filling-curve sort shared by the banded solve and its guard.
+
+    Returns (src_sorted, tgt_sorted, rperm, cperm); shared per-element bbox.
+    """
+    both = jnp.concatenate([pc_src, pc_tgt], axis=1)
+    lo = jnp.min(both, axis=1, keepdims=True)
+    hi = jnp.max(both, axis=1, keepdims=True)
+    if curve is None:
+        # measured on real problems (PARITY, one session): Hilbert's
+        # strict curve adjacency wins at wide bands (1024: -1.5% matched
+        # cost on end-of-fit 4096^2, -5%/-16% dup on raw), Morton edges it
+        # at 512 (faithful 2048^2: 247 vs 253) — default follows the band
+        curve = "hilbert" if band >= 1024 else "morton"
+    keys = {"hilbert": _hilbert_keys, "morton": _morton_keys}[curve]
+    rperm = jnp.argsort(keys(pc_src, lo, hi), axis=1)
+    cperm = jnp.argsort(keys(pc_tgt, lo, hi), axis=1)
+    src_s = jnp.take_along_axis(pc_src, rperm[..., None], axis=1)
+    tgt_s = jnp.take_along_axis(pc_tgt, cperm[..., None], axis=1)
+    return src_s, tgt_s, rperm, cperm
+
+
+@functools.partial(jax.jit, static_argnames=("band", "curve"))
+def band_overflow_fraction(pc_src, pc_tgt, band: int = 512,
+                           curve: str | None = None):
+    """Fraction of rows whose NEAREST target point falls outside their banded
+    column window — the direct measure of whether the banded solve can even
+    represent the geometric matching.
+
+    The banded kernel restricts each `tile`-row block to a static
+    diagonal-centred window of `band` sorted columns
+    (pallas_auction._band_offsets). On model-aligned clouds a row's match
+    sits near its own curve position and the window covers it; on badly
+    unaligned clouds (e.g. raw camera-rotated scans) the two clouds' curve
+    orders disagree and matches land far off the diagonal — matched cost
+    degrades 9-21% vs the dense solve there (PARITY.md). One fused 1-NN
+    pass, no (B, N, M) cost matrix: cheap enough to probe once per fit
+    (train.engine gates the banded path on it — FitConfig.assign_band_guard).
+    """
+    from reart_tpu.ops.pallas_auction import _band_offsets, band_tile
+    from reart_tpu.ops.pallas_nn import nn_topk
+
+    n, m = pc_src.shape[1], pc_tgt.shape[1]
+    src_s, tgt_s, _, _ = _curve_sort(pc_src, pc_tgt, band, curve)
+    nn_col = nn_topk(src_s, tgt_s, 1)[1][..., 0].astype(jnp.int32)  # (B, N)
+    tile = band_tile(n)
+    offs = jnp.asarray(_band_offsets(n, m, band, tile), jnp.int32)
+    off = offs[jnp.arange(n) // tile][None]  # (1, N)
+    inside = jnp.logical_and(nn_col >= off, nn_col < off + band)
+    return 1.0 - jnp.mean(inside.astype(jnp.float32))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("band", "eps_min", "num_scales", "scale_factor",
@@ -326,21 +378,7 @@ def auction_lap_points(
 
     b, n, _ = pc_src.shape
     m = pc_tgt.shape[1]
-    both = jnp.concatenate([pc_src, pc_tgt], axis=1)
-    lo = jnp.min(both, axis=1, keepdims=True)
-    hi = jnp.max(both, axis=1, keepdims=True)
-    if curve is None:
-        # measured on real problems (PARITY, one session): Hilbert's
-        # strict curve adjacency wins at wide bands (1024: -1.5% matched
-        # cost on end-of-fit 4096^2, -5%/-16% dup on raw), Morton edges it
-        # at 512 (faithful 2048^2: 247 vs 253) — default follows the band
-        curve = "hilbert" if band >= 1024 else "morton"
-    keys = {"hilbert": _hilbert_keys, "morton": _morton_keys}[curve]
-    rperm = jnp.argsort(keys(pc_src, lo, hi), axis=1)
-    cperm = jnp.argsort(keys(pc_tgt, lo, hi), axis=1)
-
-    src_s = jnp.take_along_axis(pc_src, rperm[..., None], axis=1)
-    tgt_s = jnp.take_along_axis(pc_tgt, cperm[..., None], axis=1)
+    src_s, tgt_s, rperm, cperm = _curve_sort(pc_src, pc_tgt, band, curve)
 
     if nn_recenter:
         from reart_tpu.ops.pallas_nn import nn_topk

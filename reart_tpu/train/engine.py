@@ -111,6 +111,16 @@ class FitConfig:
     # band costs the same wall-clock as 512, measured on real end-of-fit
     # sapien clouds, and cuts matched cost/duplicates ~10/18%)
     assign_band: int = -1
+    # quality guard for the banded path (auto mode only, assign_band=-1):
+    # at the assign-phase boundary the fit solves the REAL first assignment
+    # problem both banded and dense (once) and keeps the banded path only if
+    # its total matched cost is within this relative tolerance of the dense
+    # solve's. On model-aligned clouds the banded matching is at least as
+    # good; on badly unaligned clouds (raw camera-rotated scans) it is
+    # 9-21% worse (PARITY.md) and the fit falls back to the dense solver
+    # automatically. The decision is persisted in the mid-run checkpoint so
+    # resume stays bit-identical. 0 disables the guard.
+    assign_band_guard: float = 0.05
 
 
 class FlowContext(NamedTuple):
@@ -604,6 +614,9 @@ def fit(
             "opt_state": jax.tree.map(np.asarray, opt_state),
             "price": None if price is None else np.asarray(price),
             "history": jax.tree.map(np.asarray, hs_done),
+            # the band guard's path decision (None = not yet made): resume
+            # must reuse it, not re-probe with better-aligned params
+            "guard_band": guard_band,
         }
         tmp = ckpt_path + ".tmp"
         with open(tmp, "wb") as f:
@@ -660,11 +673,13 @@ def fit(
     history = []
     resume_done = 0
     price = None
+    guard_band = None  # band-guard decision, made once per fit (or resumed)
 
     if ckpt_path is not None and os.path.exists(ckpt_path):
         with open(ckpt_path, "rb") as f:
             saved = pickle.load(f)
         resume_done = saved["done"]
+        guard_band = saved.get("guard_band")
         params = _shard_frames(jax.tree.map(jnp.asarray, saved["params"]))
         opt_state = _shard_frames(
             jax.tree.map(jnp.asarray, saved["opt_state"]))
@@ -715,6 +730,36 @@ def fit(
         t_frames, num_fps = actx.pc_tgt.shape[:2]
         if price is None:
             price = _shard_frames(jnp.zeros((t_frames, num_fps), jnp.float32))
+
+        # banded-path quality guard: probe once on the real first-solve
+        # clouds; a resumed fit reuses the checkpointed decision instead
+        from reart_tpu.ops.assignment import (
+            banded_points_available,
+            resolve_band,
+        )
+
+        band = resolve_band(cfg.assign_band, num_fps)
+        if (cfg.assign_band == -1 and cfg.assign_band_guard > 0
+                and banded_points_available(num_fps, num_fps, band)):
+            if guard_band is None:
+                probe = _band_guard_probe(forward_fn, band, cfg.n_iter,
+                                          cfg.end_tau, cfg.start_tau,
+                                          cfg.assign_sweeps)
+                cb, cd = probe(params, key, jnp.asarray(n_recon, jnp.int32),
+                               cano_pc, fwd_ctx, actx.src_idx, actx.pc_tgt,
+                               price)
+                cb, cd = float(cb), float(cd)
+                rel = cb / max(cd, 1e-12) - 1.0
+                guard_band = band if rel <= cfg.assign_band_guard else 0
+                if guard_band == 0:
+                    print(f"[fit] banded-LAP guard: banded matched cost "
+                          f"{rel:+.1%} vs dense on the first-solve clouds "
+                          f"(> +{cfg.assign_band_guard:.0%}) — dense solver",
+                          flush=True)
+            if guard_band == 0:
+                _, assign_scan = make_fit_fns(
+                    forward_fn, dataclasses.replace(cfg_key, assign_band=0),
+                    two_group_opt)
         hs = []
 
         def dispatch_assign(start, st):
@@ -753,6 +798,47 @@ def fit(
         else history[0]
     )
     return params, hist
+
+
+@functools.lru_cache(maxsize=16)
+def _band_guard_probe(forward_fn: ForwardFn, band: int, n_iter: int,
+                      end_tau: float, start_tau: float, sweeps: int):
+    """Jitted banded-vs-dense matched-cost probe at the assign-phase boundary
+    (one compile, persistently cached; it0 is traced so one program serves
+    every n_recon): forward with the post-recon params at the phase's first
+    tau, select the FPS rows, solve the SAME first assignment problem both
+    banded and dense, and return each path's total matched euclidean cost.
+
+    The dense (T-1, N, M) cost matrix is materialized ONCE here — the price
+    of an evidence-based path choice; on model-aligned clouds the banded
+    matching measures at least as close to the exact optimum as the dense
+    sweep-bounded solve, on badly unaligned clouds (raw camera-rotated
+    scans) it is 9-21% worse (PARITY.md), which is exactly what this
+    measures on the fit's own data."""
+
+    @jax.jit
+    def go(params, key, it0, cano_pc, fwd_ctx, src_idx, pc_tgt, price):
+        from reart_tpu.ops.assignment import auction_lap, auction_lap_points
+        from reart_tpu.ops.distance import pairwise_sqdist
+
+        tau0 = tau_cosine(it0 + 1, n_iter, end_tau, start_tau)
+        pc_trans_list, _, _ = forward_fn(params, key, tau0, cano_pc, fwd_ctx)
+        pc_src = jax.lax.stop_gradient(
+            _select_rows(AssignContext(src_idx, pc_tgt), pc_trans_list))
+
+        def matched_cost(r2c):
+            tgt = jnp.take_along_axis(pc_tgt, r2c[..., None], axis=1)
+            return jnp.sum(jnp.linalg.norm(pc_src - tgt, axis=-1))
+
+        r2c_b = auction_lap_points(
+            pc_src, pc_tgt, band=band, eps_min=1e-4, num_scales=2,
+            scale_factor=50.0, max_sweeps=sweeps, price=price)
+        cost = jnp.sqrt(pairwise_sqdist(pc_src, pc_tgt))
+        r2c_d = auction_lap(cost, eps_min=1e-4, num_scales=2,
+                            scale_factor=50.0, max_sweeps=sweeps, price=price)
+        return matched_cost(r2c_b), matched_cost(r2c_d)
+
+    return go
 
 
 def _base_forward_fn(params, key, tau, cano_pc, fwd_ctx):
