@@ -198,6 +198,12 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                         "median + this*MAD per frame pair (robust outlier "
                         "gate, flow.gate_matches_by_displacement); pairs "
                         "naturally with --match_th near 1.0")
+    p.add_argument("--match_refine_k", default=0, type=int,
+                   help="if > 0, replace each match's discrete target point "
+                        "with the prediction of a trimmed local rigid fit "
+                        "over its k nearest matched anchors — removes the "
+                        "~point-spacing sampling error of raw matches "
+                        "(flow.refine_targets_local_rigid)")
     if domain in ("robot", "real"):
         p.add_argument("--corr_model_path",
                        default="pretrained/corr_model.pth.tar", type=str)
@@ -348,6 +354,8 @@ def setup_flow(args, domain: str, dataset, sample):
     extract_fn = lambda x: apply_pointnet2msg2(corr_params, x)
     centroid, scale = corr_normalization(args, domain, dataset, complete)
     return build_flow_context(complete, extract_fn, centroid=centroid,
+                              rigid_refine_k=getattr(args, "match_refine_k",
+                                                     0),
                               scale=scale, matching="smnn",
                               th=getattr(args, "match_th", 0.9),
                               disp_gate=getattr(args, "match_disp_gate", 0.0))

@@ -468,3 +468,74 @@ def test_sapien_corr_flow_provider(sapien_dir, tmp_path):
     ])
     txt = open(os.path.join(save_root, "0", "result.txt")).read()
     assert "full_flow_epe" in txt
+
+
+@pytest.fixture(scope="module")
+def sapien_fullscale_dir(tmp_path_factory):
+    """Reference-scale scene (round-3, VERDICT r2 #5a): 8 views, 4096
+    points, 6 parts with TWO prismatic joints, camera rotation+translation
+    per view — the real mbs-sapien scan statistics
+    (dataset/dataset_sapien.py), generated by reart_tpu.data.synth.
+    scripts/sapien_fullscale.sh drives the same generator end-to-end on
+    TPU with metric thresholds."""
+    from reart_tpu.data.synth import make_sapien_scene
+
+    return make_sapien_scene(str(tmp_path_factory.mktemp("sapien_full")))
+
+
+def test_fullscale_dataset_integrity(sapien_fullscale_dir):
+    """Format + GT consistency at the real scan scale."""
+    from reart_tpu.data.sapien import SapienDataset
+
+    s = SapienDataset(sapien_fullscale_dir, cano_idx=0)[0]
+    assert s["complete_pc_list"].shape == (8, 4096, 3)
+    assert int(s["gt_cano_part"].max()) == 5  # 6 parts, 0-based
+    np.testing.assert_allclose(
+        s["complete_gt_pc_list"], s["complete_pc_list"], atol=1e-4)
+    # exactly two parts move by PURE TRANSLATION across all views (the
+    # world-frame part motions in the raw trans dict; gt_pose_list composes
+    # camera motion on top and is not pure-translation for any part)
+    raw = np.load(os.path.join(sapien_fullscale_dir, "data", "000000.npz"),
+                  allow_pickle=True)
+    trans = raw["trans"].item()
+    n_parts = len(trans) - 1
+    prismatic = 0
+    for pid in range(1, n_parts + 1):
+        poses = np.stack(trans[pid])  # (V, 4, 4)
+        rot_dev = np.abs(poses[:, :3, :3] - np.eye(3)).max()
+        t_mag = np.abs(poses[:, :3, 3]).max()
+        prismatic += int(rot_dev < 1e-9 and t_mag > 1e-3)
+    assert prismatic == 2, trans.keys()
+    # raw views are NOT model-aligned (camera motion): view 7 differs from
+    # the cano cloud by far more than the GT flow tolerance
+    gap = np.linalg.norm(
+        s["complete_pc_list"][7] - s["complete_pc_list"][0], axis=-1).mean()
+    assert gap > 0.05, gap
+    # --flow_file boundary artifact matches the dataset's own GT flow
+    fl = np.load(os.path.join(sapien_fullscale_dir, "flow.npz"))
+    assert fl["flow"].shape == (7, 4096, 3)
+    np.testing.assert_allclose(
+        fl["flow"],
+        s["complete_pc_list"][1:] - s["complete_pc_list"][:-1], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fullscale_short_fit_e2e(tmp_path):
+    """Short fit through the real CLI on the 6-part 2-prismatic generator
+    (reduced to 1024 points for this 1-core CPU box; the 4096-point
+    protocol-scale drive with metric thresholds runs on TPU —
+    scripts/sapien_fullscale.sh, PARITY.md)."""
+    from reart_tpu.data.synth import make_sapien_scene
+
+    scene = make_sapien_scene(str(tmp_path / "scene"), n_points=1024)
+    save_root = str(tmp_path / "exp")
+    cli_main([
+        "sapien", "--sapien_base_folder", scene,
+        "--sapien_idx", "0", "--save_root", save_root, "--n_iter", "30",
+        "--assign_iter", "1000", "--use_flow_loss", "--flow_file",
+        os.path.join(scene, "flow.npz"), "--num_parts", "8",
+        "--start_tau", "1", "--end_tau", "0.5", "--snapshot_gap", "1000",
+        "--downsample", "8",
+    ])
+    txt = open(os.path.join(save_root, "0", "result.txt")).read()
+    assert "per_scan_ri" in txt and "full_flow_epe" in txt, txt
