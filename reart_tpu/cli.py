@@ -175,6 +175,15 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                         "user run one process per candidate)")
     p.add_argument("--auto_cano_iters", default=None, type=int,
                    help="selection-fit iterations (default n_iter // 10)")
+    p.add_argument("--tree_search", default=0, type=int,
+                   help="kinematic stage: short-fit the greedy MST plus its "
+                        "K-1 cheapest edge-swap spanning-tree neighbors and "
+                        "keep the lowest-energy tree (the projection ablation"
+                        " attributes the stage's flow degradation entirely "
+                        "to MST topology error; 0/1 = off, reference "
+                        "behavior)")
+    p.add_argument("--tree_search_iter", default=100, type=int,
+                   help="per-candidate short-fit iterations")
     p.add_argument("--frame_shard", default="auto", choices=["auto", "off"],
                    help="shard THIS sequence's frames over all visible "
                         "devices during the fit (SURVEY §2.7 shard_map-over-T;"
@@ -507,41 +516,20 @@ def run_train_corr(args):
             "real_match_rate": real_rate, "save_path": args.save_path}
 
 
-def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
-    """Base-result -> kinematic model construction
-    (run_robot.py:104-124, run_sapien.py:95-127)."""
-    from reart_tpu.graph import merging_wrapper, mst_wrapper, extract_kinematic
+def kinematic_from_tree(args, domain: str, cano_pc, seg_part, trans_list,
+                        joint_connection, pad_depth=None):
+    """seg/poses/tree -> (params, state): screw extraction + graph build
+    (run_robot.py:117-124, run_sapien.py:117-127). P/E-dependent shapes run
+    on the host backend (a fresh remote compile per part count otherwise)."""
+    from reart_tpu.graph import extract_kinematic
     from reart_tpu.graph.kinematics import build_graph
     from reart_tpu.models.kinematic import (
         init_kinematic_params,
         make_kinematic_state,
     )
     from reart_tpu.sapien_eval import compute_align_trans
-
     from reart_tpu.hostops import on_host
 
-    assert args.cano_idx == result["cano_idx"]
-    seg_part = jnp.asarray(result["pred_cano_part"])
-    trans_list = jnp.asarray(result["pred_pose_list"], jnp.float32)
-    root_aligned = domain != "robot"
-
-    if "joint_connection" in result:
-        joint_connection = np.asarray(result["joint_connection"])
-    else:
-        with on_host():
-            graph_trans = trans_list
-            if root_aligned:
-                root_part = int(np.bincount(np.asarray(seg_part)).argmax())
-                graph_trans = compute_align_trans(trans_list, trans_list[:, root_part])
-            seg_part = jnp.asarray(merging_wrapper(
-                seg_part, graph_trans, cano_pc, args.merge_thr))
-            joint_connection = mst_wrapper(
-                seg_part, graph_trans, cano_pc, num_fps=20,
-                cano_dist_thr=args.cano_dist_thr,
-                joint_cost_weight=args.lambda_joint)
-
-    # screw extraction / graph build: P/E-dependent shapes -> host backend
-    # (a fresh remote compile per part count otherwise; see hostops)
     with on_host():
         new_seg, new_trans, new_conn = extract_kinematic(
             seg_part, trans_list, joint_connection)
@@ -551,7 +539,7 @@ def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
             g, root, axis, moment, theta, edge_index = build_graph(
                 new_conn, new_trans, revolute_only=True)
             state = make_kinematic_state(new_seg, cano_pc, list(g.edges()),
-                                         root)
+                                         root, pad_depth=pad_depth)
             params = init_kinematic_params(
                 t_frames, state.num_edges, axis_list=axis, moment_list=moment,
                 theta_list=theta)
@@ -566,12 +554,155 @@ def build_kinematic_from_result(args, domain: str, cano_pc, result: dict):
                 root_part=root_part, return_joint_type=True)
             state = make_kinematic_state(new_seg, cano_pc, list(g.edges()),
                                          root, joint_types=joint_type_list,
-                                         has_root_trans=True)
+                                         has_root_trans=True,
+                                         pad_depth=pad_depth)
             params = init_kinematic_params(
                 t_frames, state.num_edges, axis_list=axis, moment_list=moment,
                 theta_list=theta, distance_list=distance,
                 root_trans=root_trans)
     return params, state
+
+
+def build_kinematic_from_result(args, domain: str, cano_pc, result: dict,
+                                pc_list=None, cfg=None, flow_ctx=None,
+                                key=None):
+    """Base-result -> kinematic model construction
+    (run_robot.py:104-124, run_sapien.py:95-127). With --tree_search K the
+    single greedy MST is replaced by an energy-scored sweep over the MST and
+    its K-1 cheapest edge-swap neighbors (see tree_search_build)."""
+    from reart_tpu.graph import merging_wrapper, mst_wrapper
+    from reart_tpu.sapien_eval import compute_align_trans
+    from reart_tpu.hostops import on_host
+
+    assert args.cano_idx == result["cano_idx"]
+    seg_part = jnp.asarray(result["pred_cano_part"])
+    trans_list = jnp.asarray(result["pred_pose_list"], jnp.float32)
+    root_aligned = domain != "robot"
+
+    def aligned_trans(seg, trans):
+        if not root_aligned:
+            return trans
+        root_part = int(np.bincount(np.asarray(seg)).argmax())
+        return compute_align_trans(trans, trans[:, root_part])
+
+    stored = None
+    if "joint_connection" in result:
+        stored = np.asarray(result["joint_connection"], dtype=np.int64)
+        if stored.size == 0:
+            stored = None
+    if stored is None:
+        with on_host():  # pre-merged when a stored tree exists
+            seg_part = jnp.asarray(merging_wrapper(
+                seg_part, aligned_trans(seg_part, trans_list), cano_pc,
+                args.merge_thr))
+
+    if (getattr(args, "tree_search", 0) > 1 and pc_list is not None
+            and len(np.unique(np.asarray(seg_part))) > 2):  # >1 spanning tree
+        return tree_search_build(args, domain, cano_pc, seg_part, trans_list,
+                                 pc_list, cfg, flow_ctx, key,
+                                 stored_tree=stored)
+
+    if stored is not None:
+        joint_connection = stored
+    else:
+        with on_host():
+            joint_connection = mst_wrapper(
+                seg_part, aligned_trans(seg_part, trans_list), cano_pc,
+                num_fps=20, cano_dist_thr=args.cano_dist_thr,
+                joint_cost_weight=args.lambda_joint)
+
+    return kinematic_from_tree(args, domain, cano_pc, seg_part, trans_list,
+                               joint_connection)
+
+
+def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
+                      pc_list, cfg, flow_ctx, key, stored_tree=None):
+    """Energy-scored kinematic-tree selection (--tree_search K).
+
+    Why: scripts/ablate_projection.py attributes the projection stage's flow
+    degradation entirely to merge/MST topology error — with the right tree
+    the projection is lossless. The greedy MST minimizes local edge costs;
+    this sweep short-fits the MST plus its K-1 cheapest 1-edge-swap
+    spanning-tree neighbors and keeps the tree with the lowest fit energy
+    (ass + screw [+ group], the same energy the reference uses to select the
+    canonical frame, run_robot.py:305-321). All candidates share one
+    compiled fit program: identical (P, E) and a pad_depth=P-1 path matrix.
+    """
+    import dataclasses
+
+    from reart_tpu import metrics as M
+    from reart_tpu.graph import mst_wrapper
+    from reart_tpu.graph.mst import tree_candidates
+    from reart_tpu.models.kinematic import kinematic_forward
+    from reart_tpu.sapien_eval import compute_align_trans
+    from reart_tpu.hostops import on_host, to_host
+    from reart_tpu.train import fit_kinematic
+
+    root_aligned = domain != "robot"
+    with on_host():
+        graph_trans = trans_list
+        if root_aligned:
+            root_part = int(np.bincount(np.asarray(seg_part)).argmax())
+            graph_trans = compute_align_trans(trans_list,
+                                              trans_list[:, root_part])
+        _, cost, uni = mst_wrapper(
+            seg_part, graph_trans, cano_pc, num_fps=20,
+            cano_dist_thr=args.cano_dist_thr,
+            joint_cost_weight=args.lambda_joint, return_cost=True)
+        cands = tree_candidates(cost, uni, k=args.tree_search)
+        if stored_tree is not None and not any(
+                np.array_equal(np.sort(np.asarray(c), axis=1),
+                               np.sort(stored_tree, axis=1)) for c in cands):
+            cands = [stored_tree] + cands[: max(args.tree_search - 1, 1)]
+
+    p = len(np.unique(np.asarray(seg_part)))
+    pad_depth = max(p - 1, 1)
+    short_cfg = dataclasses.replace(cfg, n_iter=args.tree_search_iter)
+    key = key if key is not None else jax.random.PRNGKey(args.manual_seed)
+    pc_host = np.asarray(pc_list)
+
+    best = None
+    for ci, cand in enumerate(cands):
+        params_i, state_i = kinematic_from_tree(
+            args, domain, cano_pc, seg_part, trans_list, cand,
+            pad_depth=pad_depth)
+        # neutralize the static tree metadata so every candidate hits the
+        # SAME compiled fit program (edges/reverse_topo are pytree aux and
+        # unused by the fit forward — only path_edges is)
+        fit_state = dataclasses.replace(
+            state_i, edges=((-1, -1),) * state_i.num_edges, reverse_topo=())
+        fitted, _ = fit_kinematic(key, params_i, fit_state, short_cfg,
+                                  pc_list, flow_ctx=flow_ctx)
+        fitted = to_host(fitted)
+        with on_host():
+            pred_pc, seg_i, trans_i = kinematic_forward(
+                fitted, to_host(state_i), to_host(jnp.asarray(cano_pc)))
+            complete_pred = jnp.concatenate(
+                [pred_pc[: args.cano_idx], jnp.asarray(cano_pc)[None],
+                 pred_pc[args.cano_idx:]], 0)
+            conn = np.asarray([list(e) for e in state_i.edges])
+            energy = M.energy(
+                pred_pc, jnp.asarray(pc_host, jnp.float32), trans_i,
+                jnp.asarray(conn), np.asarray(seg_i),
+                complete_pred_pc_list=complete_pred,
+                include_group=domain == "robot")
+        print(f"tree_search candidate {ci}: total_err "
+              f"{energy['total_err']:.4f} edges {conn.tolist()}", flush=True)
+        if best is None or energy["total_err"] < best[0]:
+            best = (energy["total_err"], ci, fitted, cand)
+
+    _, ci, fitted, cand = best
+    print(f"tree_search: selected candidate {ci} "
+          f"(total_err {best[0]:.4f})", flush=True)
+    # rebuild the winner at its natural path depth (params are
+    # depth-independent) and warm-start the full fit from its short fit;
+    # re-commit both to the accelerator (host-committed leaves would force
+    # the full fit's Pallas program to lower for CPU)
+    from reart_tpu.hostops import to_accel
+
+    _, state = kinematic_from_tree(args, domain, cano_pc, seg_part,
+                                   trans_list, cand)
+    return to_accel(fitted), to_accel(state)
 
 
 # ---------------------------------------------------------------------------
@@ -1023,7 +1154,8 @@ def main(argv=None):
             assert args.base_result_path is not None
             result = ckpt.load_result(args.base_result_path)
             params, state = build_kinematic_from_result(
-                args, domain, cano_pc, result)
+                args, domain, cano_pc, result, pc_list=pc_list, cfg=cfg,
+                flow_ctx=flow_ctx, key=key)
 
     from reart_tpu.profiling import device_trace, phase_report, phase_timer
     import contextlib

@@ -168,10 +168,14 @@ def merging_wrapper(seg_part, trans_list, cano_pc, merge_thr: float,
 
 def mst_wrapper(seg_part, trans, cano_pc, verbose: bool = False,
                 num_fps: int = 20, cano_dist_thr: float = 1e-2,
-                joint_cost_weight: float = 100.0) -> np.ndarray:
+                joint_cost_weight: float = 100.0,
+                return_cost: bool = False) -> np.ndarray:
     """Full kinematic-tree candidate selection:
     spatial gate + screw-geodesic + weighted temporal joint cost -> greedy MST.
-    (graph_utils.py:391-422)"""
+    (graph_utils.py:391-422)
+
+    With `return_cost`, also returns the (P, P) cost matrix and the label
+    vector it is indexed by (for `tree_candidates`)."""
     seg_part = np.asarray(seg_part)
     cano_pc = jnp.asarray(cano_pc)
     trans = jnp.asarray(trans)
@@ -201,4 +205,68 @@ def mst_wrapper(seg_part, trans, cano_pc, verbose: bool = False,
 
     cost = dist_cost + geo_cost + joint_cost_weight * joint_cost
     cost = cost + 1e4 * jnp.eye(p)
-    return mst(np.asarray(cost), uni_label=uni_label, verbose=verbose)
+    edges = mst(np.asarray(cost), uni_label=uni_label, verbose=verbose)
+    if return_cost:
+        return edges, np.asarray(cost), uni_label
+    return edges
+
+
+def tree_candidates(cost, uni_label=None, k: int = 8):
+    """The greedy MST plus its cheapest 1-edge-swap spanning-tree neighbors.
+
+    The MST minimizes the SUM of local edge costs; the kinematic projection's
+    failure mode is a locally-cheap but globally wrong parent whose error FK
+    composes down the whole chain (measured: scripts/ablate_projection.py —
+    with the right tree the projection is lossless). This enumerates, for
+    every non-tree pair (u, v), the swap that removes the most expensive tree
+    edge on the u–v path and inserts (u, v); candidates are ranked by the
+    cost delta of the swap. Each is a valid spanning tree; the caller scores
+    them with the global fit energy (the same ass+screw energy the reference
+    uses for canonical-frame selection, run_robot.py:305-321).
+
+    Returns a list of (P-1, 2) int64 edge arrays (labels from `uni_label`),
+    the greedy MST first, at most `k` entries, deduplicated.
+    """
+    cost = np.asarray(cost, dtype=np.float64)
+    p = cost.shape[0]
+    base = mst(cost, uni_label=None, keep_index=True)
+    if p <= 2 or len(base) < p - 1:
+        out = [base]
+    else:
+        sym = np.minimum(cost, cost.T)
+        g = nx.Graph()
+        g.add_nodes_from(range(p))
+        for a, b in base:
+            g.add_edge(int(a), int(b))
+        swaps = []  # (delta, out_edge, in_pair): EVERY path edge is a valid
+        # swap (not just the max-cost one — the energy scorer, not the local
+        # cost delta, decides; P <= ~20 so P^3 enumeration is trivial)
+        for u in range(p):
+            for v in range(u + 1, p):
+                if g.has_edge(u, v):
+                    continue
+                path = nx.shortest_path(g, u, v)
+                for a, b in zip(path[:-1], path[1:]):
+                    delta = sym[u, v] - sym[a, b]
+                    swaps.append((delta, (a, b), (u, v)))
+        swaps.sort(key=lambda s: s[0])
+
+        out, seen = [base], {frozenset(map(tuple, np.sort(base, axis=1)))}
+        for _, (a, b), (u, v) in swaps:
+            if len(out) >= k:
+                break
+            edges = [e for e in base.tolist()
+                     if {int(e[0]), int(e[1])} != {a, b}]
+            # keep the cheaper orientation of the inserted edge (the mst's
+            # argmin scans both orders of the asymmetric matrix)
+            edges.append([u, v] if cost[u, v] <= cost[v, u] else [v, u])
+            arr = np.asarray(edges, dtype=np.int64)
+            key = frozenset(map(tuple, np.sort(arr, axis=1)))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(arr)
+    if uni_label is not None:
+        uni_label = np.asarray(uni_label)
+        out = [uni_label[t] for t in out]
+    return out

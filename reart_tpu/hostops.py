@@ -41,6 +41,22 @@ def on_device():
         yield accel[0]
 
 
+def to_accel(tree):
+    """Move a pytree's array leaves to the accelerator (inverse of to_host).
+
+    Arrays explicitly committed to the CPU (to_host output) force any jit
+    consuming them to LOWER FOR CPU — a Pallas-kernel program would then fail
+    with "Only interpret mode is supported on CPU backend". Re-commit before
+    feeding fit(). No-op when only a CPU exists."""
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    if not accel:
+        return tree
+    return jax.tree.map(
+        lambda x: jax.device_put(x, accel[0]) if hasattr(x, "dtype") else x,
+        tree,
+    )
+
+
 def to_host(tree):
     """Move a pytree's array leaves to the local CPU backend.
 

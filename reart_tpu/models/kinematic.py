@@ -85,13 +85,15 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def compile_tree(edges, root: int, num_parts: int):
+def compile_tree(edges, root: int, num_parts: int, pad_depth=None):
     """Host-side: child->parent edge list -> (path_edges, reverse_topo).
 
     edges: sequence of (child, parent) pairs covering parts 0..P-1 (a tree:
     E = P - 1). Returns a (P, D) int32 numpy array of edge indices along each
     part's path to the root (child-first, padded with E) and the root-to-leaf
-    part order.
+    part order. `pad_depth` forces D (identity-padded) so trees of different
+    natural depth share one compiled FK program (tree search fans K candidate
+    trees through the same fit executable).
     """
     edges = [(int(c), int(p)) for c, p in edges]
     e = len(edges)
@@ -118,6 +120,9 @@ def compile_tree(edges, root: int, num_parts: int):
         paths.append(path)
     depth = max((len(p) for p in paths), default=1)
     depth = max(depth, 1)
+    if pad_depth is not None:
+        assert pad_depth >= depth, "pad_depth shallower than the tree"
+        depth = pad_depth
     path_edges = np.full((num_parts, depth), e, dtype=np.int32)
     for part, path in enumerate(paths):
         path_edges[part, : len(path)] = path
@@ -141,6 +146,7 @@ def make_kinematic_state(
     root: int,
     joint_types=None,
     has_root_trans: bool = False,
+    pad_depth=None,
 ) -> KinematicState:
     """Build the static state from graph-stage outputs.
 
@@ -150,7 +156,8 @@ def make_kinematic_state(
     """
     seg_part = jnp.asarray(seg_part, dtype=jnp.int32)
     num_parts = int(jnp.max(seg_part)) + 1
-    path_edges, reverse_topo = compile_tree(edges, root, num_parts)
+    path_edges, reverse_topo = compile_tree(edges, root, num_parts,
+                                            pad_depth=pad_depth)
     if joint_types is None:
         pris = None
     elif isinstance(joint_types, (list, tuple)) and joint_types and isinstance(joint_types[0], str):

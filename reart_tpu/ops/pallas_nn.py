@@ -31,6 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 FAR = 1e15  # padding coordinate: squared distances overflow to +inf
 
 TILE_N = 256
+# TILE_N=512 looked better in a sequential sweep (scripts/ab_nn_tiles.py) but
+# an interleaved old/new A/B (scripts/ab_nn_oldnew.py) showed it is a wash at
+# best (nn_bidir 0.81x) — sequential sweeps drift with the chip window; only
+# interleaved same-session numbers are trusted. 256 measured 1.35x total.
 TILE_M = 1024
 # one-tile M when affordable: a (TILE_N, 4096) f32 distance tile is 4 MB of
 # VMEM and removes every cross-tile top-k merge pass — measured 1.6/2.3 ms
@@ -40,6 +44,38 @@ MAX_TILE_M = 4096
 
 def _pick_tile_m(m: int) -> int:
     return min(MAX_TILE_M, -(-m // TILE_M) * TILE_M)
+
+
+# A/B + debugging valve for the distance-tile formulation (scripts/ab_nn.py
+# measures both inside one chip session). Round-3 on-chip findings at
+# (9, 4096, 4096): the MXU cross term ||q||^2+||r||^2-2q.r is 0.9x (SLOWER —
+# the K=3 contraction pads to the MXU's 128-deep feed and its operand
+# staging costs more than the 9 VPU passes it replaces; the round-2 blend3
+# win came from fusing the gather matmul, not the distance); what IS fast
+# is keeping the ref CHANNEL-MAJOR so each r[c] is a natural (1, TM) lane
+# vector — row-major (TM, 3) puts channels on lanes and every r[:, c]
+# extraction is a relayout (dist+min 1.93 -> 1.34 ms, one session).
+SQDIST_CROSS_TERM = False
+
+
+def _sqdist_tile(q, r_cm):
+    """q (TN, 3) row-major x r_cm (3, TM) CHANNEL-MAJOR -> (TN, TM) squared
+    distances inside a kernel. Channel-wise diff^2: exact, tie-stable, and
+    measured faster than the MXU cross term at K=3 (see flag note above).
+    q's (TN, 1) channel slices broadcast along lanes, r_cm's (1, TM) slices
+    along sublanes — no relayouts on either operand."""
+    if SQDIST_CROSS_TERM:
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)     # (TN, 1)
+        r2 = jnp.sum(r_cm * r_cm, axis=0).reshape(1, -1)
+        xy = jax.lax.dot_general(q, r_cm, (((1,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+        return q2 + r2 - 2.0 * xy
+    d = None
+    for c in range(3):
+        diff = q[:, c:c + 1] - r_cm[c].reshape(1, -1)
+        d = diff * diff if d is None else d + diff * diff
+    return d
 
 
 def _ksmallest(vals, idxs, k: int):
@@ -68,21 +104,30 @@ def _ksmallest(vals, idxs, k: int):
 
 def _nn_kernel(k: int, q_ref, r_ref, d_ref, i_ref):
     """Grid (B, N/TN, M/TM); M innermost so the (1, k, TN) output blocks are
-    revisited and act as running top-k accumulators."""
+    revisited and act as running top-k accumulators. Ref block is
+    channel-major (3, TM) — see _sqdist_tile."""
     j = pl.program_id(2)
     q = q_ref[0]  # (TN, 3)
-    r = r_ref[0]  # (TM, 3)
-    tn, tm = q.shape[0], r.shape[0]
+    r = r_ref[0]  # (3, TM) channel-major
+    tn, tm = q.shape[0], r.shape[1]
 
-    # squared distances without a K=3 matmul: 3 broadcasted VPU passes
-    d = jnp.zeros((tn, tm), jnp.float32)
-    for c in range(3):
-        diff = q[:, c:c + 1] - r[:, c].reshape(1, -1)
-        d = d + diff * diff
+    d = _sqdist_tile(q, r)
 
-    # tile-local k smallest (position == column index -> lowest-index ties)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + j * tm
-    tile_d, tile_i = _ksmallest(d, cols, k)  # (TN, k)
+    if k == 1:
+        # fast path: the index IS the first-min position (+ tile offset) —
+        # skips _ksmallest's select/where-sum/set-inf passes (~0.9 ms of
+        # the 2.7 ms k=1 kernel at (9, 4096, 4096), one-session A/B)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+        mn = jnp.min(d, axis=1)
+        first = jnp.min(
+            jnp.where(d == mn[:, None], pos, jnp.iinfo(jnp.int32).max),
+            axis=1)
+        tile_d = mn[:, None]
+        tile_i = (first + j * tm)[:, None]
+    else:
+        # position == column index -> lowest-index ties
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + j * tm
+        tile_d, tile_i = _ksmallest(d, cols, k)  # (TN, k)
 
     @pl.when(j == 0)
     def _():
@@ -127,7 +172,7 @@ def nn_topk_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int):
         in_specs=[
             pl.BlockSpec((1, TILE_N, 3), lambda bi, i, j: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, 3), lambda bi, i, j: (bi, j, 0),
+            pl.BlockSpec((1, 3, tile_m), lambda bi, i, j: (bi, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -140,7 +185,7 @@ def nn_topk_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int):
             jax.ShapeDtypeStruct((b, k, np_), jnp.float32),
             jax.ShapeDtypeStruct((b, k, np_), jnp.int32),
         ],
-    )(qp, rp)
+    )(qp, jnp.transpose(rp, (0, 2, 1)))
     d_out = jnp.moveaxis(d_t, 1, 2)[:, :n]  # (B, N, k)
     i_out = jnp.moveaxis(i_t, 1, 2)[:, :n]
     return jnp.clip(d_out, min=0.0), i_out
@@ -166,13 +211,10 @@ def _bidir_kernel(q_ref, r_ref, fd_ref, fi_ref, bd_ref, bi_ref,
     j = pl.program_id(2)
     n_i = pl.num_programs(1)
     q = q_ref[0]  # (TN, 3)
-    r = r_ref[0]  # (TM, 3)
-    tn, tm = q.shape[0], r.shape[0]
+    r = r_ref[0]  # (3, TM) channel-major
+    tn, tm = q.shape[0], r.shape[1]
 
-    d = jnp.zeros((tn, tm), jnp.float32)
-    for c in range(3):
-        diff = q[:, c:c + 1] - r[:, c].reshape(1, -1)
-        d = d + diff * diff
+    d = _sqdist_tile(q, r)
 
     # ---- forward: row minima, accumulated over j in the output block ----
     cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + j * tm
@@ -236,7 +278,7 @@ def nn_bidir_pallas(src: jnp.ndarray, tgt: jnp.ndarray):
         in_specs=[
             pl.BlockSpec((1, TILE_N, 3), lambda bi_, i, j: (bi_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M, 3), lambda bi_, i, j: (bi_, j, 0),
+            pl.BlockSpec((1, 3, TILE_M), lambda bi_, i, j: (bi_, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -259,7 +301,7 @@ def nn_bidir_pallas(src: jnp.ndarray, tgt: jnp.ndarray):
             pltpu.VMEM((1, mp), jnp.float32),
             pltpu.VMEM((1, mp), jnp.int32),
         ],
-    )(qp, rp)
+    )(qp, jnp.transpose(rp, (0, 2, 1)))
     return (jnp.clip(fd[:, 0, :n], min=0.0), fi[:, 0, :n],
             jnp.clip(bd[:, 0, :m], min=0.0), bi[:, 0, :m])
 
@@ -295,13 +337,10 @@ def _nn1c_kernel(q_ref, r_ref, d_ref, i_ref, c_ref):
     outputs are revisited running-min accumulators."""
     j = pl.program_id(2)
     q = q_ref[0]  # (TN, 3)
-    r = r_ref[0]  # (TM, 3)
-    tn, tm = q.shape[0], r.shape[0]
+    r = r_ref[0]  # (3, TM) channel-major
+    tn, tm = q.shape[0], r.shape[1]
 
-    d = jnp.zeros((tn, tm), jnp.float32)
-    for c in range(3):
-        diff = q[:, c:c + 1] - r[:, c].reshape(1, -1)
-        d = d + diff * diff
+    d = _sqdist_tile(q, r)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
     row_min = jnp.min(d, axis=1)                       # (TN,)
@@ -314,7 +353,7 @@ def _nn1c_kernel(q_ref, r_ref, d_ref, i_ref, c_ref):
     # than the one-hot MXU dot at this shape (the f32 cast + K=4096 feed
     # costs more than three VPU reduction passes)
     coords = jnp.stack(
-        [jnp.sum(jnp.where(sel, r[:, c].reshape(1, -1), 0.0), axis=1)
+        [jnp.sum(jnp.where(sel, r[c].reshape(1, -1), 0.0), axis=1)
          for c in range(3)], axis=1)                   # (TN, 3)
     row_arg = arg_local + j * tm
 
@@ -351,7 +390,7 @@ def nn1_coords_pallas(query: jnp.ndarray, ref: jnp.ndarray):
         in_specs=[
             pl.BlockSpec((1, TILE_N, 3), lambda bi, ii, j: (bi, ii, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, 3), lambda bi, ii, j: (bi, j, 0),
+            pl.BlockSpec((1, 3, tile_m), lambda bi, ii, j: (bi, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -367,7 +406,7 @@ def nn1_coords_pallas(query: jnp.ndarray, ref: jnp.ndarray):
             jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),
             jax.ShapeDtypeStruct((b, np_, 3), jnp.float32),
         ],
-    )(qp, rp)
+    )(qp, jnp.transpose(rp, (0, 2, 1)))
     return (jnp.clip(d[:, 0, :n], min=0.0), i[:, 0, :n], c[:, :n])
 
 
@@ -388,13 +427,10 @@ def _nn1c_bidir_kernel(q_ref, r_ref, fd_ref, fi_ref, fc_ref,
     tiles; ties go to the lower src row (strict < keeps earlier tiles)."""
     i = pl.program_id(1)
     q = q_ref[0]  # (TN, 3)
-    r = r_ref[0]  # (M, 3)
-    tn, tm = q.shape[0], r.shape[0]
+    r = r_ref[0]  # (3, M) channel-major
+    tn, tm = q.shape[0], r.shape[1]
 
-    d = jnp.zeros((tn, tm), jnp.float32)
-    for c in range(3):
-        diff = q[:, c:c + 1] - r[:, c].reshape(1, -1)
-        d = d + diff * diff
+    d = _sqdist_tile(q, r)
 
     int_max = jnp.iinfo(jnp.int32).max
 
@@ -407,7 +443,7 @@ def _nn1c_bidir_kernel(q_ref, r_ref, fd_ref, fi_ref, fc_ref,
     fd_ref[0, 0] = row_min
     fi_ref[0, 0] = row_arg
     fc_ref[0] = jnp.stack(
-        [jnp.sum(jnp.where(fsel, r[:, c].reshape(1, -1), 0.0), axis=1)
+        [jnp.sum(jnp.where(fsel, r[c].reshape(1, -1), 0.0), axis=1)
          for c in range(3)], axis=1)                   # (TN, 3)
 
     # ---- reverse: column minima + src winner coords, merged across i -----
@@ -461,7 +497,7 @@ def nn1_bidir_coords_pallas(src: jnp.ndarray, tgt: jnp.ndarray):
         in_specs=[
             pl.BlockSpec((1, TILE_N, 3), lambda bi_, i: (bi_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, 3), lambda bi_, i: (bi_, 0, 0),
+            pl.BlockSpec((1, 3, mp), lambda bi_, i: (bi_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -488,7 +524,7 @@ def nn1_bidir_coords_pallas(src: jnp.ndarray, tgt: jnp.ndarray):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=BLEND_VMEM_LIMIT),
-    )(qp, rp)
+    )(qp, jnp.transpose(rp, (0, 2, 1)))
     return (jnp.clip(fd[:, 0, :n], min=0.0), fi[:, 0, :n], fc[:, :n],
             jnp.clip(bd[:, 0, :m], min=0.0), bi[:, 0, :m],
             jnp.moveaxis(bc, 1, 2)[:, :m])

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--seq_path", default="/root/reference/demo_data/data/nao")
     ap.add_argument("--ckpt", default="/tmp/nao_corr_r3/corr_model.pkl")
     ap.add_argument("--th", default=0.98, type=float)
+    ap.add_argument("--ks", default=[0, 8, 16, 32], type=int, nargs="+")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -69,7 +70,7 @@ def main():
             _, j, valid = match_smnn(jnp.asarray(feats[t]),
                                      jnp.asarray(feats[t + 1]), args.th)
             matches.append((np.asarray(j), np.asarray(valid)))
-        for rk in (0, 8, 16, 32):
+        for rk in args.ks:
             errs, epes, covs, rates = [], [], [], []
             for t in range(T - 1):
                 j, valid = matches[t]

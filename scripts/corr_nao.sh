@@ -37,18 +37,22 @@ EOF
 fi
 
 echo "== 1/3: self-train the corr backbone on nao's own frames =="
+if [ -f "$OUT/corr_model.pkl" ]; then
+    echo "(reusing $OUT/corr_model.pkl)"
+else
 python run.py corr --data_domain robot --seq_path "$NAO" \
     --normalize_file "$OUT/normalize.pkl" \
     --steps "$STEPS" --batch 4 --train_points 1024 \
     --self_finetune_steps "${FT_STEPS:-0}" \
     --train_checkpoint "$OUT/corr_train_ckpt.pkl" \
     --save_path "$OUT/corr_model.pkl" 2>&1 | tail -20
+fi
 
 echo "== 2/3: relaxation (15k iters, flow+assign, corr supervision) =="
 python run.py robot --seq_path "$NAO" --cano_idx 4 --use_assign_loss \
     --use_flow_loss --flow_provider corr \
     --corr_model_path "$OUT/corr_model.pkl" \
-    --match_th "${MATCH_TH:-0.9}" \
+    --match_th "${MATCH_TH:-0.9}" --match_refine_k "${REFINE_K:-0}" \
     --normalize_file "$OUT/normalize.pkl" \
     --save_root "$OUT/fit_base"
 
@@ -58,7 +62,7 @@ python run.py robot --model kinematic \
     --seq_path "$NAO" --cano_idx 4 --n_iter 200 \
     --use_flow_loss --flow_provider corr \
     --corr_model_path "$OUT/corr_model.pkl" \
-    --match_th "${MATCH_TH:-0.9}" \
+    --match_th "${MATCH_TH:-0.9}" --match_refine_k "${REFINE_K:-0}" \
     --normalize_file "$OUT/normalize.pkl" \
     --save_root "$OUT/fit_kinematic"
 

@@ -1,0 +1,153 @@
+"""Energy-scored kinematic-tree search (--tree_search).
+
+scripts/ablate_projection.py attributes the projection stage's flow
+degradation entirely to merge/MST topology error; tree_search short-fits the
+MST's 1-edge-swap neighborhood and keeps the lowest-energy tree. These tests
+pin the candidate generator's invariants and show the search recovering the
+true topology from a deliberately wrong stored tree on a scene where hinge
+axes are displaced (so a wrong parent is NOT screw-expressible — unlike
+coincident-axis toys where every tree fits exactly).
+"""
+
+import os
+import pickle
+
+import numpy as np
+import networkx as nx
+import pytest
+
+from reart_tpu.cli import main as cli_main
+from reart_tpu.graph.mst import mst, tree_candidates
+
+
+def test_tree_candidates_invariants(rng):
+    p = 7
+    cost = rng.rand(p, p) * 2 + 1e4 * np.eye(p)
+    cands = tree_candidates(cost, k=6)
+    assert len(cands) <= 6
+    assert np.array_equal(cands[0], mst(cost, keep_index=True))
+    seen = set()
+    for t in cands:
+        g = nx.Graph()
+        g.add_nodes_from(range(p))
+        g.add_edges_from(map(tuple, t))
+        assert nx.is_tree(g)
+        key = frozenset(map(tuple, np.sort(t, axis=1)))
+        assert key not in seen  # deduplicated
+        seen.add(key)
+
+    uni = np.arange(p) * 3 + 1
+    relabeled = tree_candidates(cost, uni_label=uni, k=3)
+    for t in relabeled:
+        assert np.isin(t, uni).all()
+
+
+def test_tree_candidates_degenerate():
+    # P=2: exactly one spanning tree
+    cost = np.array([[1e4, 1.0], [2.0, 1e4]])
+    cands = tree_candidates(cost, k=8)
+    assert len(cands) == 1 and cands[0].shape == (1, 2)
+
+
+def _rot_about(angle, center):
+    """Rotation about a z-axis through `center` (displaced hinge)."""
+    c, s = np.cos(angle), np.sin(angle)
+    r = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    t = np.asarray(center) - r @ np.asarray(center)
+    out = np.eye(4)
+    out[:3, :3] = r
+    out[:3, 3] = t
+    return out
+
+
+@pytest.fixture(scope="module")
+def offset_hinge_dir(tmp_path_factory):
+    """3-part robot whose arm hinges sit at x = -/+0.45 (NOT the origin): a
+    chain tree (arm2 under arm1) must express arm2's motion through arm1's
+    screw, which no fixed-axis screw can do — topology genuinely matters."""
+    from reart_tpu.data.common import Node
+
+    root = tmp_path_factory.mktemp("offsetrobot")
+    rs = np.random.RandomState(3)
+    n_per = 120
+    body = rs.uniform([-0.3, -0.4, -0.15], [0.3, 0.4, 0.15], (n_per, 3))
+    arm_l = rs.uniform([-1.0, 0.1, -0.1], [-0.45, 0.35, 0.1], (n_per, 3))
+    arm_r = rs.uniform([0.45, 0.1, -0.1], [1.0, 0.35, 0.1], (n_per, 3))
+    cano = np.concatenate([body, arm_l, arm_r])
+    part_id = np.repeat([0, 1, 2], n_per)
+
+    def pose_dict(i):
+        return {
+            0: np.eye(4),
+            1: _rot_about(0.3 * i, (-0.45, 0.2, 0.0)),
+            2: _rot_about(-0.25 * i, (0.45, 0.2, 0.0)),
+        }
+
+    for i in range(4):
+        poses = pose_dict(i)
+        pc = cano.copy()
+        for pid in (0, 1, 2):
+            sel = part_id == pid
+            homo = np.concatenate([pc[sel], np.ones((sel.sum(), 1))], 1)
+            pc[sel] = (homo @ poses[pid].T)[:, :3]
+        with open(root / f"state_{i}.pkl", "wb") as f:
+            pickle.dump({"pc": pc, "part_id": part_id}, f)
+        if i > 0:
+            with open(root / f"pose_{i}.pkl", "wb") as f:
+                pickle.dump(poses, f)
+    with open(root / "novel_pose_0.pkl", "wb") as f:
+        pickle.dump(pose_dict(5), f)
+
+    nodes = {pid: Node([f"link_{pid}"]) for pid in (0, 1, 2)}
+    g = nx.DiGraph()
+    g.add_edge(nodes[1], nodes[0])
+    g.add_edge(nodes[2], nodes[0])
+    with open(root / "graph.gpickle", "wb") as f:
+        pickle.dump(g, f)
+    with open(root / "part_mapping.pkl", "wb") as f:
+        pickle.dump({
+            "face_part_mapping": {},
+            "node_part_mapping": {pid: [f"link_{pid}"] for pid in (0, 1, 2)},
+        }, f)
+    return str(root)
+
+
+@pytest.mark.slow
+def test_tree_search_recovers_topology(offset_hinge_dir, tmp_path):
+    """Kinematic stage fed GT seg+poses but a WRONG stored chain tree: with
+    --tree_search the energy sweep must select the true star topology (and
+    without it the stored wrong tree is honored — reference behavior)."""
+    from reart_tpu.data.robot import RobotSequence
+
+    sample = RobotSequence(offset_hinge_dir, num_points=360, cano_idx=0)[0]
+    result = {
+        "pred_cano_part": np.asarray(sample["gt_cano_part"]),
+        "pred_pose_list": np.asarray(sample["gt_pose_list"])[1:],
+        "cano_idx": 0,
+        "joint_connection": [[1, 0], [2, 1]],  # WRONG: arm_r under arm_l
+    }
+    res_path = str(tmp_path / "base_result.pkl")
+    with open(res_path, "wb") as f:
+        pickle.dump(result, f)
+
+    def run(save_root, extra):
+        cli_main([
+            "robot", "--seq_path", offset_hinge_dir, "--save_root", save_root,
+            "--model", "kinematic", "--base_result_path", res_path,
+            "--n_iter", "60", "--num_points", "360",
+            "--start_tau", "1", "--end_tau", "1", "--snapshot_gap", "1000",
+        ] + extra)
+        from reart_tpu import checkpoint as ckpt
+
+        seq = os.path.basename(offset_hinge_dir)
+        payload = ckpt.load_checkpoint(
+            os.path.join(save_root, seq, "model.ckpt.pkl"))
+        state = ckpt.restore_kinematic_state(payload)
+        return {tuple(sorted(e)) for e in state.edges}
+
+    plain = run(str(tmp_path / "plain"), [])
+    assert plain == {(0, 1), (1, 2)}  # wrong stored tree honored
+
+    searched = run(str(tmp_path / "searched"),
+                   ["--tree_search", "3", "--tree_search_iter", "40"])
+    assert searched == {(0, 1), (0, 2)}  # true star topology recovered
