@@ -582,15 +582,6 @@ def _banded_kernel(eps_list, max_sweeps, n, m, w, tile, g,
             out.append((m1, m2, a1))
         return out
 
-    def unassigned_of(c2r, t):
-        """(G, tile) unassigned flags of tile t derived from the column-owner
-        map: a row only ever bids inside its own window, so its owned column
-        (if any) lies there."""
-        o = offs[t]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 1) + t * tile
-        own = c2r[:, o:o + w][:, None, :] == rows  # slice-then-axis: no gather
-        return jnp.max(jnp.where(own, 1, 0), axis=2) == 0
-
     def sweep(state):
         # state is the COLUMN-owner map c2r (G, m), not per-tile row maps:
         # seating a winner and unseating the previous owner is then ONE
@@ -600,7 +591,6 @@ def _banded_kernel(eps_list, max_sweeps, n, m, w, tile, g,
         # sweep-bound dense solves
         c2r, it, eps = state
         price = po_ref[:, 0]  # (G, m)
-        tops = row_phase(price)
 
         # global per-column max bid + lowest winning row, accumulated across
         # (overlapping) tile windows; ascending tiles + strictly-greater
@@ -612,21 +602,44 @@ def _banded_kernel(eps_list, max_sweeps, n, m, w, tile, g,
         cwin[...] = jnp.full((g, m), INT_MAX, jnp.int32)
         for t in range(ntiles):
             o = offs[t]
-            m1, m2, bj_t = tops[t]
-            bid_t = jnp.where(unassigned_of(c2r, t), m1 - m2 + eps, NEG_INF)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 2) + o
-            rows = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 1) \
-                + t * tile
-            hit = bj_t[..., None] == cols
-            contrib = jnp.where(hit, bid_t[..., None], NEG_INF)
-            tmax = jnp.max(contrib, axis=1)  # (G, w)
-            is_max = contrib == tmax[:, None, :]
-            twin = jnp.min(jnp.where(is_max, rows, INT_MAX), axis=1)
-            cur = cbid[:, o:o + w]
-            curw = cwin[:, o:o + w]
-            better = tmax > cur
-            cbid[:, o:o + w] = jnp.where(better, tmax, cur)
-            cwin[:, o:o + w] = jnp.where(better, twin, curw)
+            c2r_win = c2r[:, o:o + w]  # (G, w)
+            # CONVERGED-TILE SKIP: rows of tile t only ever own columns
+            # inside their own window, so "tile fully assigned" is a cheap
+            # (G, w) lane count — a fully-assigned tile's bids are all
+            # NEG_INF and its contribution pass is a no-op; pl.when skips
+            # the ~15 (G, tile, w) value/bid/winner ops entirely. Auction
+            # sweeps converge row-by-row, so late sweeps (most of the
+            # sweep bound) touch only the straggler tiles.
+            in_tile = jnp.logical_and(c2r_win >= t * tile,
+                                      c2r_win < (t + 1) * tile)
+            owned = jnp.sum(jnp.where(in_tile, 1, 0), axis=1)  # (G,)
+
+            @pl.when(jnp.min(owned) < tile)
+            def _(t=t, o=o, c2r_win=c2r_win):
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (g, tile, w), 1) + t * tile
+                # slice-then-axis keeps Mosaic off the gather path
+                own = c2r_win[:, None, :] == rows
+                un = jnp.max(jnp.where(own, 1, 0), axis=2) == 0  # (G, tile)
+                v = band[:, t * tile:(t + 1) * tile, :] \
+                    - price[:, o:o + w][:, None, :]
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (g, tile, w), 2) + o
+                m1 = jnp.max(v, axis=2)
+                a1 = jnp.min(jnp.where(v == m1[..., None], cols, INT_MAX),
+                             axis=2)
+                sel = cols == a1[..., None]  # one-hot best column == bid hit
+                m2 = jnp.max(jnp.where(sel, NEG_INF, v), axis=2)
+                bid_t = jnp.where(un, m1 - m2 + eps, NEG_INF)
+                contrib = jnp.where(sel, bid_t[..., None], NEG_INF)
+                tmax = jnp.max(contrib, axis=1)  # (G, w)
+                is_max = contrib == tmax[:, None, :]
+                twin = jnp.min(jnp.where(is_max, rows, INT_MAX), axis=1)
+                cur = cbid[:, o:o + w]
+                curw = cwin[:, o:o + w]
+                better = tmax > cur
+                cbid[:, o:o + w] = jnp.where(better, tmax, cur)
+                cwin[:, o:o + w] = jnp.where(better, twin, curw)
 
         cb, cw = cbid[...], cwin[...]
         got = cb > NEG_INF

@@ -170,8 +170,12 @@ class TestMeshParallel:
         # sharded forward + global-BN semantics exactly. Step 2 (and the
         # params after it) drift by fp reduction order amplified through
         # Adam/ReLU/max-pool nonlinearities — only trajectory-level
-        # agreement is meaningful there.
-        np.testing.assert_allclose(l_mesh[0], l_single[0], rtol=1e-4)
+        # agreement is meaningful there. The bound must cover sharded-
+        # reduction-order f32 noise (measured up to 1.5e-4 rtol) while
+        # still catching the failure mode it guards: per-device (local)
+        # BN moments at batch 8 / 8 devices are batch-1 moments, which
+        # move the loss at the several-percent level.
+        np.testing.assert_allclose(l_mesh[0], l_single[0], rtol=1e-3)
         np.testing.assert_allclose(l_mesh, l_single, rtol=0.05)
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(p_mesh))
