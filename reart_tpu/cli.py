@@ -108,6 +108,11 @@ def _corr_args(p: argparse.ArgumentParser):
     p.add_argument("--self_finetune_real_frac", default=0.5, type=float,
                    help="fraction of fine-tune batch drawn from real pairs "
                         "(the rest stay synthetic, anchoring the features)")
+    p.add_argument("--self_finetune_refine_k", default=0, type=int,
+                   help="local-rigid-refine each mining round's pseudo-"
+                        "targets over this many matched neighbours "
+                        "(continuous targets, like --match_refine_k at "
+                        "inference); 0 keeps raw discrete targets")
 
 
 def _common_args(p: argparse.ArgumentParser, domain: str):
@@ -464,6 +469,7 @@ def run_train_corr(args):
             steps=args.self_finetune_steps, mine_th=args.self_finetune_th,
             rounds=args.self_finetune_rounds,
             real_frac=args.self_finetune_real_frac,
+            refine_k=args.self_finetune_refine_k,
             log_fn=lambda r, m: print(
                 f"  mining round {r}: {m:.3f} of points pseudo-labeled",
                 flush=True))

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from reart_tpu.ops import ball_query, farthest_point_sample, index_points
+from reart_tpu.ops import (ball_query, farthest_point_sample,
+                           index_points, index_points_mm)
 from reart_tpu.ops.distance import pairwise_sqdist
 
 BN_EPS = 1e-5
@@ -125,8 +126,8 @@ def _sa_msg(blocks, npoint, radii, nsamples, xyz, points, bn_mode="running",
     outs = []
     for block, radius, k in zip(blocks, radii, nsamples):
         gidx = ball_query(radius, k, xyz, new_xyz)  # (B, S, K)
-        gxyz = index_points(xyz, gidx) - new_xyz[:, :, None, :]
-        gpts = index_points(points, gidx)
+        gxyz = index_points_mm(xyz, gidx) - new_xyz[:, :, None, :]
+        gpts = index_points_mm(points, gidx)
         feat = jnp.concatenate([gpts, gxyz], axis=-1)  # (B, S, K, D+3)
         for layer in block:
             feat = _apply_conv_bn(layer, feat, bn_mode=bn_mode,
@@ -159,7 +160,7 @@ def _fp(block, xyz1, xyz2, points1, points2, bn_mode="running",
         neg, idx = jax.lax.top_k(-d, 3)
         recip = 1.0 / (jnp.clip(-neg, min=0.0) + 1e-8)
         w = recip / jnp.sum(recip, axis=-1, keepdims=True)
-        gathered = index_points(points2, idx)  # (B, N, 3, D)
+        gathered = index_points_mm(points2, idx)  # (B, N, 3, D)
         interp = jnp.sum(gathered * w[..., None], axis=2)
     feat = interp if points1 is None else jnp.concatenate([points1, interp], -1)
     for layer in block:

@@ -22,6 +22,7 @@ from reart_tpu.ops.sampling import (
     masked_farthest_point_sample,
     ball_query,
     index_points,
+    index_points_mm,
 )
 from reart_tpu.ops.interpolate import (
     three_interpolate,

@@ -29,6 +29,69 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(idx.shape + (points.shape[-1],))
 
 
+# XLA differentiates take_along_axis with a scatter-add, which TPUs can
+# execute as a serialized update loop (see CLAUDE.md: ~300x vs masked
+# reductions at fit-engine shapes). This variant keeps the fast gather
+# forward but expresses the cotangent as a chunked one-hot matmul:
+# grad_points[b] = onehot(idx[b])^T @ g[b], a (M, N)x(M, C) contraction
+# that rides the MXU. Chunked over M so the one-hot block stays ~32 MB.
+# Honest measurement at the corr trainer's shapes: step-level NEUTRAL
+# (scripts/ab_gather_grad.py, one session: 41.0 vs 40.9 ms f32 — the step
+# is dominated by the CE tail, and XLA's scatter handles the backbone's
+# gathers fine there). Kept wired into models/pointnet2.py because it is
+# never slower, the backward cost is shape-predictable (no scatter
+# serialization cliff), and the grads are tested identical
+# (tests/test_ops.py). Index cotangent is float0 (not differentiable).
+_ONEHOT_BLOCK_BYTES = 32 * 1024 * 1024
+
+
+@jax.custom_vjp
+def index_points_mm(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """index_points with a matmul (not scatter) backward. Same contract."""
+    return index_points(points, idx)
+
+
+def _ip_mm_fwd(points, idx):
+    return index_points(points, idx), (idx, points.shape)
+
+
+def _ip_mm_bwd(res, g):
+    import numpy as np
+
+    idx, pshape = res
+    b, n, c = pshape
+    pdtype = g.dtype  # gather preserves dtype: cotangent dtype == points'
+    gf = g.reshape(b, -1, c).astype(jnp.float32)
+    fi = idx.reshape(b, -1).astype(jnp.int32)
+    m = fi.shape[1]
+    chunk = max(128, min(m, _ONEHOT_BLOCK_BYTES // (4 * b * n)))
+    pad = (-m) % chunk
+    if pad:
+        # zero cotangents contribute nothing, any index is safe padding
+        fi = jnp.concatenate([fi, jnp.zeros((b, pad), jnp.int32)], 1)
+        gf = jnp.concatenate([gf, jnp.zeros((b, pad, c), gf.dtype)], 1)
+    nch = fi.shape[1] // chunk
+    cols = jnp.arange(n, dtype=jnp.int32)
+
+    def body(acc, inp):
+        ic, gc = inp  # (B, chunk), (B, chunk, C)
+        oh = (ic[..., None] == cols).astype(gf.dtype)  # (B, chunk, N)
+        return acc + jnp.einsum("bmn,bmc->bnc", oh, gc,
+                                preferred_element_type=jnp.float32), None
+
+    if nch == 1:
+        acc, _ = body(jnp.zeros((b, n, c), gf.dtype), (fi, gf))
+    else:
+        fi_s = jnp.moveaxis(fi.reshape(b, nch, chunk), 1, 0)
+        gf_s = jnp.moveaxis(gf.reshape(b, nch, chunk, c), 1, 0)
+        acc, _ = jax.lax.scan(body, jnp.zeros((b, n, c), gf.dtype),
+                              (fi_s, gf_s))
+    return acc.astype(pdtype), np.zeros(idx.shape, jax.dtypes.float0)
+
+
+index_points_mm.defvjp(_ip_mm_fwd, _ip_mm_bwd)
+
+
 def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """Iterative FPS. xyz: (B, N, 3) -> indices (B, npoint), starting at 0.
 

@@ -214,8 +214,6 @@ def corr_info_nce(params, src, tgt, temperature: float,
     (MXU 2x rate); master weights stay f32 (autodiff casts grads back), BN
     stats and the logits/CE are promoted to f32.
     """
-    import optax
-
     dt = jnp.dtype(compute_dtype)
     b, n = src.shape[0], src.shape[1]
     stats = []
@@ -229,36 +227,105 @@ def corr_info_nce(params, src, tgt, temperature: float,
              for m, v in stats]
     feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
     f1, f2 = feats[:b], feats[b:]
-    logits = jnp.einsum("bnd,bmd->bnm", f1, f2) / temperature  # (B, N, M)
-    ce = optax.softmax_cross_entropy_with_integer_labels
+
     if gt_pos is None:
-        labels = jnp.broadcast_to(jnp.arange(n), (b, n))
-        loss = 0.5 * (jnp.mean(ce(logits, labels)) +
-                      jnp.mean(ce(jnp.swapaxes(logits, 1, 2), labels)))
-        return loss, stats
+        # identity recipe == the gated tail with diagonal positives, no
+        # near-mask, everything valid (sum/B·N is then exactly the mean)
+        is_pos = jnp.broadcast_to(jnp.eye(n, dtype=jnp.bool_)[None],
+                                  (b, n, n))
+        near = jnp.zeros((b, n, n), jnp.bool_)
+        valid = jnp.ones((b, n), jnp.float32)
+        gates_f = gates_b = (is_pos, near, valid)
+    else:
+        # geometric distances from each src point's true position to every
+        # tgt point (and transposed for the reverse direction)
+        d2 = jnp.sum((gt_pos[:, :, None] - tgt[:, None]) ** 2, -1)  # (B,N,M)
+        s = (jnp.ones((b,), jnp.float32) if scale is None
+             else jnp.asarray(scale, jnp.float32))
+        pos_r2 = (pos_radius * s)[:, None] ** 2                     # (B, 1)
+        neg_r2 = (neg_radius * s)[:, None, None] ** 2               # (B,1,1)
 
-    # geometric distances from each src point's true position to every tgt
-    # point (and transposed for the reverse direction)
-    d2 = jnp.sum((gt_pos[:, :, None] - tgt[:, None]) ** 2, -1)  # (B, N, M)
-    s = (jnp.ones((b,), jnp.float32) if scale is None
-         else jnp.asarray(scale, jnp.float32))
-    pos_r2 = (pos_radius * s)[:, None] ** 2                      # (B, 1)
-    neg_r2 = (neg_radius * s)[:, None, None] ** 2                # (B, 1, 1)
+        def gates(d2):
+            pos = jnp.argmin(d2, axis=-1)                           # (B, N)
+            valid = (jnp.min(d2, axis=-1) < pos_r2).astype(jnp.float32)
+            is_pos = jax.nn.one_hot(pos, d2.shape[-1], dtype=jnp.bool_)
+            near = (d2 < neg_r2) & ~is_pos
+            return is_pos, near, valid
 
-    def gated_ce(lg, d2):
-        pos = jnp.argmin(d2, axis=-1)                            # (B, N)
-        dmin = jnp.min(d2, axis=-1)
-        valid = (dmin < pos_r2).astype(jnp.float32)
-        is_pos = jax.nn.one_hot(pos, d2.shape[-1], dtype=jnp.bool_)
-        near = (d2 < neg_r2) & ~is_pos
-        lg = jnp.where(near, -1e9, lg)
-        return jnp.sum(ce(lg, pos) * valid) / jnp.maximum(
-            jnp.sum(valid), 1.0)
+        gates_f = gates(d2)
+        gates_b = gates(jnp.swapaxes(d2, 1, 2))
 
-    loss = 0.5 * (gated_ce(logits, d2) +
-                  gated_ce(jnp.swapaxes(logits, 1, 2),
-                           jnp.swapaxes(d2, 1, 2)))
+    loss = _nce_tail(f1, f2, jnp.float32(1.0 / temperature),
+                     *gates_f, *gates_b)
     return loss, stats
+
+
+# The InfoNCE tail (logits einsum -> near-mask -> gated CE both directions)
+# carries a hand-written VJP. XLA autodiffs the identical math fine in
+# isolation (1.55 ms standalone) but embedding that autodiff graph in the
+# full param backward produces a pathological schedule: 26 ms/grad at the
+# SAME cost_analysis flops/bytes as a constant-cotangent tail running
+# 3.4 ms (scripts/ab_tail_bisect.py, scripts/ab_ce_tail_vjp.py; one-session
+# A/B measured 7.7x end-to-end from this boundary). The custom VJP fences
+# the tail into its own clean backward: d_logits = (softmax - onehot) *
+# valid/den, masked where `near`, then two MXU einsums for df1/df2.
+#
+# Contract: gates (is_pos, near, valid) and inv_tau are treated as
+# non-differentiable constants (their cotangents are zero) — callers only
+# ever differentiate through f1/f2 (the params path). CE is evaluated as
+# logsumexp minus the one-hot-masked sum (value-identical to the integer-
+# label form, scripts/ab_ce_form.py).
+
+
+def _nce_dir(lg, is_pos, near, valid):
+    """Per-direction gated CE: mean over valid rows of
+    lse(masked logits) - positive logit."""
+    lgm = jnp.where(near, -1e9, lg)
+    lse = jax.nn.logsumexp(lgm, axis=-1)
+    pos_lg = jnp.sum(jnp.where(is_pos, lgm, 0.0), axis=-1)
+    return jnp.sum((lse - pos_lg) * valid) / jnp.maximum(
+        jnp.sum(valid), 1.0)
+
+
+def _nce_dir_dlg(lg, is_pos, near, valid):
+    """d(_nce_dir)/d(lg): rows weighted by valid/den; masked logits pass
+    no gradient (is_pos is never masked — gates() excludes it from near)."""
+    lgm = jnp.where(near, -1e9, lg)
+    p = jax.nn.softmax(lgm, axis=-1)
+    den = jnp.maximum(jnp.sum(valid), 1.0)
+    w = (valid / den)[..., None]
+    return jnp.where(near, 0.0, (p - is_pos) * w)
+
+
+@jax.custom_vjp
+def _nce_tail(f1, f2, inv_tau, ipf, nf, vf, ipb, nb, vb):
+    lg = jnp.einsum("bnd,bmd->bnm", f1, f2) * inv_tau
+    return 0.5 * (_nce_dir(lg, ipf, nf, vf) +
+                  _nce_dir(jnp.swapaxes(lg, 1, 2), ipb, nb, vb))
+
+
+def _nce_tail_fwd(f1, f2, inv_tau, ipf, nf, vf, ipb, nb, vb):
+    return (_nce_tail(f1, f2, inv_tau, ipf, nf, vf, ipb, nb, vb),
+            (f1, f2, inv_tau, ipf, nf, vf, ipb, nb, vb))
+
+
+def _nce_tail_bwd(res, g):
+    f1, f2, inv_tau, ipf, nf, vf, ipb, nb, vb = res
+    lg = jnp.einsum("bnd,bmd->bnm", f1, f2) * inv_tau
+    dlg = 0.5 * (_nce_dir_dlg(lg, ipf, nf, vf) +
+                 jnp.swapaxes(_nce_dir_dlg(jnp.swapaxes(lg, 1, 2),
+                                           ipb, nb, vb), 1, 2))
+    dlg = dlg * (g * inv_tau)
+    df1 = jnp.einsum("bnm,bmd->bnd", dlg, f2)
+    df2 = jnp.einsum("bnm,bnd->bmd", dlg, f1)
+    fz = lambda x: (np.zeros(x.shape, jax.dtypes.float0)
+                    if not jnp.issubdtype(x.dtype, jnp.floating)
+                    else jnp.zeros_like(x))
+    return (df1, df2, jnp.zeros_like(inv_tau),
+            fz(ipf), fz(nf), fz(vf), fz(ipb), fz(nb), fz(vb))
+
+
+_nce_tail.defvjp(_nce_tail_fwd, _nce_tail_bwd)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
@@ -383,20 +450,45 @@ def _finetune_chunk(cfg: CorrTrainConfig, tx, params, opt_state, frames,
     return params, opt_state, losses
 
 
+def _refine_mined_labels(frames_np, gt_np, k: int):
+    """Host-side local-rigid refinement of mined pseudo-targets: each
+    matched src point's DISCRETE target (a point of the next frame's
+    sample, ~surface spacing of irreducible error) is replaced by its
+    matched neighbourhood's trimmed-Procrustes prediction — the same
+    continuous-target construction the inference path uses
+    (flow.refine_targets_local_rigid; the reference consumes raw SMNN
+    targets, flow_utils.py:116-143). Unmatched rows stay FAR_POS.
+    frames_np (F, N0, 3), gt_np (F-1, N0, 3); returns refined copy."""
+    from reart_tpu.flow import refine_targets_local_rigid
+
+    out = gt_np.copy()
+    for t in range(out.shape[0]):
+        m = out[t, :, 0] < FAR_POS / 2
+        if int(m.sum()) >= 5:
+            out[t][m] = refine_targets_local_rigid(
+                frames_np[t][m], out[t][m], k=k)
+    return out
+
+
 def finetune_real_pairs(key, params, frames,
                         cfg: CorrTrainConfig = CorrTrainConfig(),
                         steps: int = 600, mine_th: float = 0.9,
                         rounds: int = 3, real_frac: float = 0.5,
-                        lr: float | None = None, log_fn=None):
+                        lr: float | None = None, log_fn=None,
+                        refine_k: int = 0):
     """EM-style fine-tuning of a trained backbone on the sequence's own
     consecutive frame pairs (see module comment above). Returns
     (params, losses (steps,)). `rounds` re-minings; `mine_th` is the SMNN
     ratio threshold for pseudo-labels (keep conservative: wrong labels
-    poison the gate); lr defaults to 0.3x the training lr."""
+    poison the gate); lr defaults to 0.3x the training lr. refine_k > 0
+    additionally local-rigid-refines each round's mined targets on host
+    (_refine_mined_labels) so the finetune supervision carries the same
+    continuous targets the flow path blends."""
     import optax
 
     frames = jnp.asarray(frames, jnp.float32)
     assert frames.shape[0] >= 2, "need at least one consecutive pair"
+    frames_np = np.asarray(frames)
     tx = optax.adam(cfg.lr * 0.3 if lr is None else lr)
     opt_state = tx.init(params)
     per_round = -(-steps // max(rounds, 1))
@@ -404,6 +496,9 @@ def finetune_real_pairs(key, params, frames,
     losses = []
     for r in range(max(rounds, 1)):
         gt_pos_all = mine_pair_labels(params, frames, th=mine_th)
+        if refine_k > 0:
+            gt_pos_all = jnp.asarray(_refine_mined_labels(
+                frames_np, np.asarray(gt_pos_all), refine_k))
         if log_fn is not None:
             matched = float(jnp.mean(
                 (gt_pos_all[..., 0] < FAR_POS / 2).astype(jnp.float32)))

@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--ft_rounds", default=3, type=int)
     ap.add_argument("--ft_th", default=0.9, type=float)
     ap.add_argument("--ft_real_frac", default=0.5, type=float)
+    ap.add_argument("--ft_refine_k", default=0, type=int,
+                    help="> 0 adds a THIRD arm: finetune with local-rigid-"
+                         "refined pseudo-targets (continuous supervision)")
+    ap.add_argument("--eval_refine_k", default=0, type=int,
+                    help="> 0 also local-rigid-refines matched targets at "
+                         "EVALUATION time (the flagship inference path, "
+                         "--match_refine_k) before anchoring/blending")
+    ap.add_argument("--ths", default="0.9,0.95,0.98,1.0")
     ap.add_argument("--base_ckpt", default=None,
                     help="reuse a trained backbone instead of retraining")
     ap.add_argument("--save_dir", default="/tmp/corr_density")
@@ -107,6 +115,22 @@ def main():
           f"final loss {float(ft_losses[-1]):.3f}")
     save_corr_model(os.path.join(args.save_dir, "finetuned.pkl"), ft_params)
 
+    ftr_params = None
+    if args.ft_refine_k > 0:
+        t0 = time.time()
+        ftr_params, ftr_losses = finetune_real_pairs(
+            jax.random.fold_in(key, 777), base_params, jnp.asarray(norm),
+            cfg, steps=args.ft_steps, mine_th=args.ft_th,
+            rounds=args.ft_rounds, real_frac=args.ft_real_frac,
+            refine_k=args.ft_refine_k,
+            log_fn=lambda r, m: print(f"  mining round {r}: {m:.3f} labeled",
+                                      flush=True))
+        print(f"self-finetune (refine_k={args.ft_refine_k}): "
+              f"{args.ft_steps} steps in {time.time()-t0:.0f}s, "
+              f"final loss {float(ftr_losses[-1]):.3f}")
+        save_corr_model(os.path.join(args.save_dir, "finetuned_refined.pkl"),
+                        ftr_params)
+
     norm_j = jnp.asarray(norm)
 
     # feature extraction on the accelerator (one program, reused); ALL
@@ -128,18 +152,24 @@ def main():
             rates.append(valid.mean())
             if valid.sum() < 3:
                 continue
-            err = np.linalg.norm(pcs[t + 1][j] - true_tgt[t], axis=-1)
-            p1.append((err[valid] < 0.01).mean())
-            p2.append((err[valid] < 0.02).mean())
-            errs.append(err[valid].mean())
+            src_m = pcs[t][valid]
+            tgt_m = pcs[t + 1][j[valid]]
+            if args.eval_refine_k > 0:
+                from reart_tpu.flow import refine_targets_local_rigid
+                tgt_m = refine_targets_local_rigid(src_m, tgt_m,
+                                                   k=args.eval_refine_k)
+            err_m = np.linalg.norm(tgt_m - true_tgt[t][valid], axis=-1)
+            p1.append((err_m < 0.01).mean())
+            p2.append((err_m < 0.02).mean())
+            errs.append(err_m.mean())
             # densified flow, the fit's actual supervision signal; anchors
             # padded to the fixed size N with FAR coords (never selected by
             # the 3-NN) so every pair reuses ONE compiled program
             anchors = np.full((N, 3), 1e6, np.float32)
             aflow = np.zeros((N, 3), np.float32)
             v = int(valid.sum())
-            anchors[:v] = pcs[t][valid]
-            aflow[:v] = pcs[t + 1][j[valid]] - pcs[t][valid]
+            anchors[:v] = src_m
+            aflow[:v] = tgt_m - src_m
             blended, mask = blend_anchor_motion(
                 jnp.asarray(pcs[t]), jnp.asarray(anchors),
                 jnp.asarray(aflow), k=3, return_mask=True)
@@ -158,10 +188,14 @@ def main():
 
     print(f"\n{'config':<34}{'rate':>7}{'p@1cm':>7}{'p@2cm':>7}"
           f"{'err_cm':>8}{'epe_cm':>8}{'cov':>6}")
-    for pname, params in (("base", base_params), ("finetuned", ft_params)):
+    variants = [("base", base_params), ("finetuned", ft_params)]
+    if ftr_params is not None:
+        variants.append((f"ft_ref{args.ft_refine_k}", ftr_params))
+    ths = [float(x) for x in args.ths.split(",") if x]
+    for pname, params in variants:
         feats = np.asarray(apply_pointnet2msg2(params, norm_j))
         with on_host():
-            for th in (0.9, 0.95, 0.98, 1.0):
+            for th in ths:
                 for dg in (0.0, 6.0):
                     r = evaluate(feats, th, dg)
                     print(f"{pname:<10} th={th:<5} gate={dg:<8}"

@@ -309,6 +309,127 @@ class TestResampledRecipe:
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(g))
 
+    def test_custom_vjp_tail_matches_autodiff(self, frames):
+        """The hand-written _nce_tail VJP (the 7.7x TPU backward fix,
+        scripts/ab_ce_tail_vjp.py) must give the same loss AND param
+        gradients as a pure-autodiff optax integer-label reference, for
+        both the identity and the gated recipe."""
+        import optax
+
+        from reart_tpu.models.pointnet2 import apply_pointnet2msg2
+        from reart_tpu.train.corr import corr_info_nce
+
+        cfg = CorrTrainConfig(n_points=128, resample=True)
+        params = init_pointnet2msg2(jax.random.PRNGKey(0))
+        src, tgt, gt_pos, scale = jax.vmap(
+            lambda k: synth_pair(k, frames, cfg))(
+                jax.random.split(jax.random.PRNGKey(5), 2))
+        tau = 0.07
+
+        def reference_loss(p, gated):
+            stats = []
+            both = jnp.concatenate([src, tgt], 0)
+            feats = apply_pointnet2msg2(p, both, bn_mode="batch",
+                                        stats_out=stats)
+            feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True)
+                             + 1e-8)
+            f1, f2 = feats[:2], feats[2:]
+            lg = jnp.einsum("bnd,bmd->bnm", f1, f2) / tau
+            ce = optax.softmax_cross_entropy_with_integer_labels
+            if not gated:
+                labels = jnp.broadcast_to(jnp.arange(cfg.n_points),
+                                          (2, cfg.n_points))
+                return 0.5 * (jnp.mean(ce(lg, labels)) +
+                              jnp.mean(ce(jnp.swapaxes(lg, 1, 2), labels)))
+            d2 = jnp.sum((gt_pos[:, :, None] - tgt[:, None]) ** 2, -1)
+            s = jnp.asarray(scale, jnp.float32)
+            pos_r2 = (pos_radius * s)[:, None] ** 2
+            neg_r2 = (neg_radius * s)[:, None, None] ** 2
+
+            def one(lg, d2):
+                pos = jnp.argmin(d2, -1)
+                valid = (jnp.min(d2, -1) < pos_r2).astype(jnp.float32)
+                is_pos = jax.nn.one_hot(pos, d2.shape[-1], dtype=jnp.bool_)
+                near = (d2 < neg_r2) & ~is_pos
+                lgm = jnp.where(near, -1e9, lg)
+                return jnp.sum(ce(lgm, pos) * valid) / jnp.maximum(
+                    jnp.sum(valid), 1.0)
+
+            return 0.5 * (one(lg, d2) +
+                          one(jnp.swapaxes(lg, 1, 2),
+                              jnp.swapaxes(d2, 1, 2)))
+
+        # (a) exact check at the tail boundary: custom VJP vs autodiff of
+        # the identical tail math, grads wrt f1/f2 (same check the TPU A/B
+        # ran; float-exact up to one reassociation)
+        from reart_tpu.train.corr import _nce_dir, _nce_tail
+
+        rng = np.random.RandomState(0)
+        f1 = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+        ip = jax.nn.one_hot(jnp.asarray(rng.randint(0, 64, (2, 64))), 64,
+                            dtype=jnp.bool_)
+        near = jnp.asarray(rng.rand(2, 64, 64) < 0.1) & ~ip
+        valid = jnp.asarray((rng.rand(2, 64) < 0.7).astype(np.float32))
+        inv_tau = jnp.float32(1.0 / tau)
+
+        def tail_auto(a, c):
+            lg = jnp.einsum("bnd,bmd->bnm", a, c) * inv_tau
+            return 0.5 * (_nce_dir(lg, ip, near, valid) +
+                          _nce_dir(jnp.swapaxes(lg, 1, 2), ip, near, valid))
+
+        def tail_custom(a, c):
+            return _nce_tail(a, c, inv_tau, ip, near, valid,
+                             ip, near, valid)
+
+        np.testing.assert_allclose(float(tail_custom(f1, f2)),
+                                   float(tail_auto(f1, f2)), rtol=1e-6)
+        ga = jax.grad(tail_auto, argnums=(0, 1))(f1, f2)
+        gc = jax.grad(tail_custom, argnums=(0, 1))(f1, f2)
+        np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(ga[0]),
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(ga[1]),
+                                   rtol=1e-4, atol=1e-7)
+
+        # (b) end-to-end: loss values exact vs the optax reference; param
+        # grads direction/scale-equal per tensor (two differently-scheduled
+        # f32 backwards through BN reassociate — elementwise comparison is
+        # noise-bound, cosine/norm catches any real factor/transpose bug).
+        # pos_radius widened vs the training default: at 0.02 this sparse
+        # gaussian fixture gates out EVERY match and the comparison would
+        # degenerate to 0 == 0.
+        pos_radius, neg_radius = 0.3, 0.5
+        for gated in (False, True):
+            ours = lambda p: corr_info_nce(
+                p, src, tgt, tau, "float32",
+                gt_pos if gated else None, pos_radius,
+                neg_radius, scale if gated else None)[0]
+            ref = lambda p: reference_loss(p, gated)
+            if gated:
+                assert float(ours(params)) > 0.0, "gated arm degenerated"
+            np.testing.assert_allclose(float(ours(params)),
+                                       float(ref(params)), rtol=1e-5)
+            g_ours = jax.grad(ours)(params)
+            g_ref = jax.grad(ref)(params)
+            leaves_o = jax.tree_util.tree_leaves(g_ours)
+            leaves_r = jax.tree_util.tree_leaves(g_ref)
+            # conv biases feeding BatchNorm have exactly-zero true grads
+            # (BN subtracts the batch mean): both backwards produce pure
+            # float noise there — compare only tensors above a noise
+            # floor set by the largest grad tensor
+            gscale = max(np.linalg.norm(np.asarray(x, np.float64))
+                         for x in leaves_r)
+            for a, b in zip(leaves_o, leaves_r):
+                a = np.asarray(a, np.float64).ravel()
+                b = np.asarray(b, np.float64).ravel()
+                na, nb = np.linalg.norm(a), np.linalg.norm(b)
+                if nb < 1e-4 * gscale:
+                    assert na < 1e-3 * gscale, (na, nb, gscale)
+                    continue
+                cos = float(a @ b / (na * nb + 1e-30))
+                assert cos > 0.999, cos
+                assert abs(na / nb - 1.0) < 2e-3, (na, nb)
+
     def test_gating_scales_with_pair_scale(self, frames):
         """The radius gates must follow the pair's scale_jitter factor:
         passing scale=s is exactly equivalent to folding s into the radii
@@ -391,3 +512,36 @@ class TestSelfFinetune:
             for a, b in zip(jax.tree_util.tree_leaves(params),
                             jax.tree_util.tree_leaves(out)))
         assert moved
+
+    def test_refine_mined_labels(self, frames):
+        """_refine_mined_labels: unmatched rows stay FAR_POS; matched rows
+        under a pure rigid motion are refined onto the CONTINUOUS targets
+        (closer than the raw discrete matches); a refined run of
+        finetune_real_pairs stays finite."""
+        from reart_tpu.geometry.se3 import se3_exp_map
+        from reart_tpu.train.corr import (FAR_POS, _refine_mined_labels,
+                                          finetune_real_pairs)
+
+        rng = np.random.RandomState(3)
+        src = rng.rand(200, 3).astype(np.float32)
+        tw = jnp.asarray([[0.1, -0.2, 0.15, 0.02, -0.03, 0.01]], jnp.float32)
+        r_t = np.asarray(se3_exp_map(tw))[0]
+        true_tgt = src @ r_t[:3, :3].T + r_t[:3, 3]
+        # discrete matches: true target + per-point sampling noise
+        noisy_tgt = true_tgt + rng.randn(200, 3).astype(np.float32) * 0.01
+        gt = np.full((1, 200, 3), FAR_POS, np.float32)
+        matched = rng.rand(200) < 0.7
+        gt[0, matched] = noisy_tgt[matched]
+        two = np.stack([src, src])  # frames arg only supplies src coords
+        out = _refine_mined_labels(two, gt, k=16)
+        assert (out[0, ~matched, 0] > FAR_POS / 2).all()
+        err_raw = np.linalg.norm(gt[0, matched] - true_tgt[matched], axis=-1)
+        err_ref = np.linalg.norm(out[0, matched] - true_tgt[matched], axis=-1)
+        assert err_ref.mean() < 0.5 * err_raw.mean()
+
+        cfg = CorrTrainConfig(batch=2, n_points=128, dispatch_chunk=2)
+        params = init_pointnet2msg2(jax.random.PRNGKey(0))
+        out_p, losses = finetune_real_pairs(
+            jax.random.PRNGKey(1), params, frames, cfg, steps=2, rounds=1,
+            refine_k=8)
+        assert np.isfinite(np.asarray(losses)).all()

@@ -123,6 +123,47 @@ class TestSampling:
         for b in range(2):
             np.testing.assert_allclose(out[b], pts[b][idx[b]])
 
+    def test_index_points_mm_matches_gather_and_grad(self, rng):
+        """index_points_mm: identical forward; its one-hot-matmul backward
+        must equal the scatter-add backward of the plain gather (duplicate
+        indices accumulate), incl. when chunking kicks in (M > chunk)."""
+        import jax
+
+        pts = jnp.asarray(rng.randn(2, 40, 5).astype(np.float32))
+        # duplicates on purpose; M large enough to exercise >1 chunk when
+        # the block budget is tiny
+        idx = jnp.asarray(rng.randint(0, 40, (2, 9, 6)))
+        np.testing.assert_allclose(
+            np.asarray(O.index_points_mm(pts, idx)),
+            np.asarray(O.index_points(pts, idx)))
+
+        def loss(fn, p):
+            out = fn(p, idx)
+            return jnp.sum(jnp.sin(out) * out)
+
+        g_ref = jax.grad(lambda p: loss(O.index_points, p))(pts)
+        g_mm = jax.grad(lambda p: loss(O.index_points_mm, p))(pts)
+        np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+        # force multi-chunk path
+        from reart_tpu.ops import sampling as S
+
+        old = S._ONEHOT_BLOCK_BYTES
+        S._ONEHOT_BLOCK_BYTES = 4 * 2 * 40 * 128  # chunk == 128 rows
+        try:
+            big_idx = jnp.asarray(rng.randint(0, 40, (2, 300,)))
+
+            def loss2(fn, p):
+                return jnp.sum(jnp.cos(fn(p, big_idx)))
+
+            g2_ref = jax.grad(lambda p: loss2(O.index_points, p))(pts)
+            g2_mm = jax.grad(lambda p: loss2(O.index_points_mm, p))(pts)
+            np.testing.assert_allclose(np.asarray(g2_mm), np.asarray(g2_ref),
+                                       rtol=1e-5, atol=1e-6)
+        finally:
+            S._ONEHOT_BLOCK_BYTES = old
+
 
 class TestInterpolate:
     def test_three_interpolate(self, rng):
