@@ -158,6 +158,11 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                         "assignment problem both banded and dense and fall "
                         "back to dense when the banded matched cost is worse "
                         "by more than this fraction (0 disables)")
+    p.add_argument("--assign_band_reprobe", default=1000, type=int,
+                   help="re-run the banded-vs-dense guard probe every this "
+                        "many assign-phase iterations so a long fit can "
+                        "switch LAP paths when the cloud-alignment regime "
+                        "changes (0 = probe only once at the phase boundary)")
     p.add_argument("--lambda_assign", default=3e-1, type=float)
     p.add_argument("--lambda_flow", default=1.0, type=float)
     p.add_argument("--lambda_joint", default=100.0 if robot else 1e-1, type=float)
@@ -171,6 +176,12 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                         "mid-fit snapshot block, run_robot.py:224-269) — "
                         "runs asynchronously on the host backend, no "
                         "pipeline stall; rows land in result.txt")
+    p.add_argument("--snapshot_graph", action="store_true",
+                   help="with --snapshot_metrics (implied), also run the "
+                        "host graph stage (denoise/merge/MST, "
+                        "run_robot.py:232-240) + selection energy per "
+                        "snapshot — mid-fit tree observability at the "
+                        "reference's full snapshot depth")
     p.add_argument("--save_vis", action="store_true")
     p.add_argument("--trace_dir", default=None, type=str,
                    help="write a jax.profiler device trace of the fit here")
@@ -279,6 +290,7 @@ def fit_config(args, domain: str):
         assign_sweeps=args.assign_sweeps,
         assign_band=args.assign_band,
         assign_band_guard=args.assign_band_guard,
+        assign_band_reprobe=args.assign_band_reprobe,
         dispatch_chunk=args.dispatch_chunk,
         pipeline_depth=args.pipeline_depth,
     )
@@ -748,15 +760,77 @@ def snapshot_metrics_row(domain: str, sample, cano_idx: int, seg_part,
     return row
 
 
+def snapshot_graph_row(args, domain: str, sample, seg_part,
+                       trans_list) -> dict:
+    """The reference's FULL snapshot block also runs the host graph stage
+    every snapshot_gap iterations — denoise (run_robot.py:232), merge
+    (:234), MST (:240) — plus the selection energy (:306-314). One row of
+    mid-fit tree observability: part count, edge list, energy terms."""
+    from reart_tpu.graph import (
+        denoise_seg_label,
+        extract_kinematic,
+        merging_wrapper,
+        mst_wrapper,
+    )
+    from reart_tpu import metrics as M
+    from reart_tpu.models.base_model import compute_pc_transform
+    from reart_tpu.sapien_eval import compute_align_trans
+
+    cano_pc = jnp.asarray(sample["cano_pc"], jnp.float32)
+    cano_idx = args.cano_idx
+    seg = np.asarray(seg_part)
+    trans = jnp.asarray(trans_list)
+
+    def aligned(tr):
+        if domain == "robot":
+            return tr
+        root_part = int(np.bincount(seg).argmax())
+        return compute_align_trans(tr, tr[:, root_part])
+
+    seg = np.asarray(denoise_seg_label(seg, cano_pc, min_num=20))
+    if len(np.unique(seg)) > 1:
+        seg = np.asarray(merging_wrapper(
+            seg, aligned(trans), cano_pc, args.merge_thr,
+            n_it=args.merge_it))
+    if len(np.unique(seg)) > 1:
+        conn = np.asarray(mst_wrapper(
+            seg, aligned(trans), cano_pc, num_fps=20,
+            cano_dist_thr=args.cano_dist_thr,
+            joint_cost_weight=args.lambda_joint))
+    else:
+        conn = np.zeros((0, 2), np.int64)
+    if conn.shape[0] > 0:
+        seg, trans, conn = extract_kinematic(seg, trans, conn)
+    else:
+        lab = int(np.unique(seg)[0])
+        seg = np.zeros_like(seg)
+        trans = trans[:, lab:lab + 1]
+
+    pred = np.asarray(compute_pc_transform(cano_pc, jnp.asarray(trans),
+                                           jnp.asarray(seg)))
+    complete_pred = np.concatenate(
+        [pred[:cano_idx], np.asarray(cano_pc)[None], pred[cano_idx:]], 0)
+    e = M.energy(pred, jnp.asarray(sample["pc_list"], jnp.float32),
+                 jnp.asarray(trans), conn, seg,
+                 complete_pred_pc_list=complete_pred,
+                 include_group=domain == "robot")
+    row = {"parts": len(np.unique(seg)), "edges": np.asarray(conn).tolist()}
+    row.update({k: float(v) for k, v in e.items()})
+    return row
+
+
 class SnapshotEvaluator:
     """Asynchronous mid-fit metric evaluation: engine.fit's snapshot_cb runs
     on the dispatch-issuing thread and must not stall the pipeline, so the
     callback only transfers the fenced params to host and enqueues them; a
     worker thread runs the forward + snapshot_metrics_row on the HOST
     backend (on_host — jax.default_device is thread-local) and collects
-    `iteration N | k: v | ...` rows for result.txt."""
+    `iteration N | k: v | ...` rows for result.txt. With `graph_args` set
+    (--snapshot_graph) each row additionally carries the host graph stage +
+    energy (snapshot_graph_row — the reference's full snapshot depth)."""
 
-    def __init__(self, domain, sample, cano_idx, forward_of):
+    def __init__(self, domain, sample, cano_idx, forward_of,
+                 graph_args=None):
         import queue
         import threading
 
@@ -764,11 +838,16 @@ class SnapshotEvaluator:
         self._q = queue.Queue()
         self._domain, self._sample = domain, sample
         self._cano_idx, self._forward_of = cano_idx, forward_of
+        self._graph_args = graph_args
         self._t = threading.Thread(target=self._work, daemon=True)
         self._t.start()
 
     def callback(self, done, params):
         self._q.put((done, jax.tree.map(np.asarray, params)))
+
+    @staticmethod
+    def _fmt(v):
+        return f"{v:.3f}" if isinstance(v, float) else str(v)
 
     def _work(self):
         from reart_tpu.hostops import on_host
@@ -784,7 +863,12 @@ class SnapshotEvaluator:
                     row = snapshot_metrics_row(
                         self._domain, self._sample, self._cano_idx,
                         np.asarray(seg_part), np.asarray(trans_list))
-                msg = " | ".join(f"{k}: {v:.3f}" for k, v in row.items())
+                    if self._graph_args is not None:
+                        row.update(snapshot_graph_row(
+                            self._graph_args, self._domain, self._sample,
+                            seg_part, trans_list))
+                msg = " | ".join(f"{k}: {self._fmt(v)}"
+                                 for k, v in row.items())
                 self.rows.append(f"snapshot {done} | {msg}")
                 print(f"[snapshot {done}] {msg}", flush=True)
             except Exception as e:  # never kill the fit over a metric row
@@ -1168,7 +1252,8 @@ def main(argv=None):
 
     snap_eval = None
     if not args.evaluate:
-        if getattr(args, "snapshot_metrics", False):
+        if (getattr(args, "snapshot_metrics", False)
+                or getattr(args, "snapshot_graph", False)):
             from reart_tpu.hostops import to_host as _th
 
             cano_h = _th(cano_pc)
@@ -1177,8 +1262,10 @@ def main(argv=None):
                 fwd_of = lambda p: base_forward(p, cano_h, key, tau=1.0)[1:]
             else:
                 fwd_of = lambda p: kinematic_forward(p, state_h, cano_h)[1:]
-            snap_eval = SnapshotEvaluator(domain, sample, args.cano_idx,
-                                          fwd_of)
+            snap_eval = SnapshotEvaluator(
+                domain, sample, args.cano_idx, fwd_of,
+                graph_args=(args if getattr(args, "snapshot_graph", False)
+                            else None))
         trace = (device_trace(args.trace_dir) if args.trace_dir
                  else contextlib.nullcontext())
         fit_mesh = None

@@ -121,6 +121,17 @@ class FitConfig:
     # automatically. The decision is persisted in the mid-run checkpoint so
     # resume stays bit-identical. 0 disables the guard.
     assign_band_guard: float = 0.05
+    # re-run the banded-vs-dense guard probe every this many iterations of
+    # the assign phase (0 = probe only once at the phase boundary). The
+    # initial decision is made on the phase's FIRST clouds; on long fits the
+    # alignment regime can change — typically raw scans start unaligned
+    # (guard falls back to dense) and align as the fit converges, at which
+    # point the banded path becomes safe (and cheaper) again. The probe
+    # program is compiled once (iteration is a traced argument), so each
+    # re-probe costs one banded+dense solve of the current real problem.
+    # A flipped decision is persisted in the mid-run checkpoint like the
+    # initial one.
+    assign_band_reprobe: int = 1000
 
 
 class FlowContext(NamedTuple):
@@ -739,27 +750,38 @@ def fit(
         )
 
         band = resolve_band(cfg.assign_band, num_fps)
-        if (cfg.assign_band == -1 and cfg.assign_band_guard > 0
-                and banded_points_available(num_fps, num_fps, band)):
+        guard_active = (cfg.assign_band == -1 and cfg.assign_band_guard > 0
+                        and banded_points_available(num_fps, num_fps, band))
+
+        def _run_probe(params_now, price_now, it0):
+            """Banded-vs-dense matched cost on the CURRENT real problem ->
+            (band-or-0 decision, relative cost gap)."""
+            probe = _band_guard_probe(forward_fn, band, cfg.n_iter,
+                                      cfg.end_tau, cfg.start_tau,
+                                      cfg.assign_sweeps)
+            cb, cd = probe(params_now, key, jnp.asarray(it0, jnp.int32),
+                           cano_pc, fwd_ctx, actx.src_idx, actx.pc_tgt,
+                           price_now)
+            rel = float(cb) / max(float(cd), 1e-12) - 1.0
+            return (band if rel <= cfg.assign_band_guard else 0), rel
+
+        def _scan_for(gb):
+            if gb != 0:
+                return assign_scan_banded
+            return make_fit_fns(
+                forward_fn, dataclasses.replace(cfg_key, assign_band=0),
+                two_group_opt)[1]
+
+        assign_scan_banded = assign_scan
+        if guard_active:
             if guard_band is None:
-                probe = _band_guard_probe(forward_fn, band, cfg.n_iter,
-                                          cfg.end_tau, cfg.start_tau,
-                                          cfg.assign_sweeps)
-                cb, cd = probe(params, key, jnp.asarray(n_recon, jnp.int32),
-                               cano_pc, fwd_ctx, actx.src_idx, actx.pc_tgt,
-                               price)
-                cb, cd = float(cb), float(cd)
-                rel = cb / max(cd, 1e-12) - 1.0
-                guard_band = band if rel <= cfg.assign_band_guard else 0
+                guard_band, rel = _run_probe(params, price, n_recon)
                 if guard_band == 0:
                     print(f"[fit] banded-LAP guard: banded matched cost "
                           f"{rel:+.1%} vs dense on the first-solve clouds "
                           f"(> +{cfg.assign_band_guard:.0%}) — dense solver",
                           flush=True)
-            if guard_band == 0:
-                _, assign_scan = make_fit_fns(
-                    forward_fn, dataclasses.replace(cfg_key, assign_band=0),
-                    two_group_opt)
+            assign_scan = _scan_for(guard_band)
         hs = []
 
         def dispatch_assign(start, st):
@@ -771,12 +793,29 @@ def fit(
             return new_st, h
 
         def fenced_assign(start, st, h):
-            nonlocal last_saved
+            nonlocal last_saved, guard_band, assign_scan
             hs.append(jax.tree.map(lambda v: v.reshape(-1), h))
             done = min(n_recon + (start + outer_chunk) * gap, cfg.n_iter)
             _log(h, n_recon + (start + outer_chunk) * gap, outer_chunk * gap)
             _snapshot(n_recon + (start + outer_chunk) * gap,
                       outer_chunk * gap, st[0])
+            # mid-fit guard re-probe: the alignment regime can change over a
+            # long fit (clouds typically align as it converges) — re-decide
+            # the banded-vs-dense path on the CURRENT clouds every
+            # assign_band_reprobe iterations; later dispatches use the new
+            # path (in-flight ones finish on the old one, both are valid)
+            rp = max(cfg.assign_band_reprobe, 0)
+            if (guard_active and rp > 0 and done < cfg.n_iter
+                    and (done - n_recon) // rp
+                    != (done - n_recon - outer_chunk * gap) // rp):
+                new_band, rel = _run_probe(st[0], st[2], done)
+                if new_band != guard_band:
+                    which = "banded" if new_band else "dense"
+                    print(f"[fit] banded-LAP guard re-probe at iteration "
+                          f"{done}: matched cost {rel:+.1%} vs dense — "
+                          f"switching to the {which} solver", flush=True)
+                    guard_band = new_band
+                    assign_scan = _scan_for(guard_band)
             if ckpt_path and done - last_saved >= checkpoint_every:
                 _save_state(done, st[0], st[1], st[2], history + hs)
                 last_saved = done

@@ -188,3 +188,36 @@ def test_robot_snapshot_metrics(robot_dir, tmp_path):
         for part in row.split("|")[1:]:
             v = float(part.split(":")[1])
             assert np.isfinite(v), row
+
+
+@pytest.mark.slow
+def test_robot_snapshot_graph(robot_dir, tmp_path):
+    """--snapshot_graph (round-4, VERDICT r3 #5): mid-fit snapshot rows at
+    the reference's FULL depth — the host graph stage (denoise/merge/MST,
+    run_robot.py:232-240) and the selection energy (:306-314) run per
+    snapshot, so a kinematic tree appears mid-fit in result.txt."""
+    save_root = str(tmp_path / "exp_snapg")
+    cli_main([
+        "robot", "--seq_path", robot_dir, "--save_root", save_root,
+        "--n_iter", "100", "--use_flow_loss", "--flow_provider", "gt",
+        "--num_parts", "4", "--start_tau", "2", "--end_tau", "0.5",
+        "--num_points", "360", "--snapshot_gap", "50", "--snapshot_graph",
+        "--dispatch_chunk", "50",
+    ])
+    txt = open(os.path.join(save_root, os.path.basename(robot_dir),
+                            "result.txt")).read()
+    rows = [l for l in txt.splitlines() if l.startswith("snapshot ")]
+    assert len(rows) >= 1, txt
+    for row in rows:
+        # the raw-seg metrics are still there (--snapshot_graph implies
+        # --snapshot_metrics) ...
+        assert "seg_ri" in row and "recon_err" in row, row
+        # ... plus the graph stage: part count, a tree, and its energy
+        assert "parts: " in row and "edges: [" in row, row
+        assert "total_err: " in row and "ass_err: " in row, row
+        n_parts = int(row.split("parts: ")[1].split(" |")[0])
+        edges = row.split("edges: ")[1].split(" |")[0]
+        assert n_parts >= 1
+        # a P-part tree has P-1 edges
+        assert edges.count("[") == max(n_parts - 1, 0) + 1 or n_parts == 1, \
+            row
