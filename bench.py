@@ -185,6 +185,91 @@ def init_backend_or_die(timeout_s: float = 900.0):
         os._exit(1)  # daemon probe thread cannot be joined
 
 
+def supervise():
+    """Outage-resilient driver mode (the default `python bench.py` entry).
+
+    Round 3's capture failed because a single 900 s backend probe ran into a
+    transient axon-tunnel outage (BENCH_r03 rc=1). This supervisor:
+
+    1. probes backend init in a THROWAWAY subprocess (kill-safe: init never
+       dispatches to the chip), retrying every BENCH_RETRY_S (default 300 s)
+       within a BENCH_WINDOW_S budget (default 7200 s);
+    2. once a probe succeeds, runs the real bench as `bench.py --inner` with
+       NO outer timeout — a tripped outer timeout is a mid-execution kill
+       and wedges the chip for tens of minutes (CLAUDE.md, measured);
+       the fit engine's own watchdog bounds every dispatch instead;
+    3. on a mid-bench failure (tunnel drop surfacing as JaxRuntimeError /
+       TimeoutError in the inner process), re-probes and re-runs while the
+       window allows.
+
+    Prints exactly one JSON line to stdout (the inner's, or an error line).
+    """
+    import os
+    import subprocess
+
+    window_s = float(os.environ.get("BENCH_WINDOW_S", 7200))
+    retry_s = float(os.environ.get("BENCH_RETRY_S", 300))
+    probe_timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 900))
+    deadline = time.monotonic() + window_s
+    last_err = "never attempted"
+
+    def probe_ok():
+        # fresh process: a cached failed backend in THIS process can't
+        # poison the retry, and killing it mid-init is chip-safe
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout_s, capture_output=True, text=True,
+            )
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    attempt = 0
+    while True:
+        attempt += 1
+        if not probe_ok():
+            last_err = f"backend probe failed (attempt {attempt})"
+            log(f"bench: {last_err}")
+            if time.monotonic() + retry_s > deadline:
+                break
+            time.sleep(retry_s)
+            continue
+        log(f"bench: backend probe ok (attempt {attempt}); running inner")
+        # no timeout= here on purpose: see docstring
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True, text=True,
+        )
+        sys.stderr.write(r.stderr)
+        line = next((ln for ln in reversed(r.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line is not None:
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                parsed = {"error": "unparseable inner output"}
+            if "error" not in parsed:
+                print(line)
+                return 0
+            last_err = parsed["error"]
+        else:
+            tail = (r.stdout + r.stderr).strip().splitlines()[-3:]
+            last_err = f"inner rc={r.returncode}: {' | '.join(tail)}"
+        log(f"bench: inner run failed: {last_err}")
+        if time.monotonic() + retry_s > deadline:
+            break
+        time.sleep(retry_s)
+
+    print(json.dumps({
+        "metric": "nao_relaxation_opt_throughput",
+        "value": 0.0, "unit": "iters/sec", "vs_baseline": 0.0,
+        "error": f"bench window exhausted: {last_err}",
+    }))
+    return 1
+
+
 def corr_training_bench(complete):
     """Throughput of the self-supervised corr-backbone trainer (train/corr.py)
     — the MXU-heavy counterpart to the VPU/bandwidth fit kernels. Reports
@@ -335,15 +420,22 @@ def main():
         _ = float(h["total_loss"][-1])
         return (time.perf_counter() - t0) / iters * 1e3
 
+    # every phase is MEASURED directly (own half-length fit) rather than
+    # derived by subtraction across fits — the chip's intra-session
+    # throughput variance (CLAUDE.md: 2-4x between windows) made a derived
+    # assign share go negative in one capture. "flow" is the only derived
+    # entry (difference of two measurements seconds apart, same program
+    # shape) and is labeled as such.
     half = n_iter // 2
     recon_flow_ms = timed_fit(dataclasses.replace(
         cfg, n_iter=half, use_assign_loss=False), half)
     recon_ms = timed_fit(dataclasses.replace(
         cfg, n_iter=half, use_assign_loss=False, use_flow_loss=False), half)
-    assign_flow_ms = (dt * 1e3 - half * recon_flow_ms) / half
+    assign_flow_ms = timed_fit(dataclasses.replace(
+        cfg, n_iter=half, assign_iter=0), half)
     device_ms = {
         "recon": round(recon_ms, 3),
-        "flow": round(recon_flow_ms - recon_ms, 3),
+        "flow_derived": round(max(recon_flow_ms - recon_ms, 0.0), 3),
         "recon_flow": round(recon_flow_ms, 3),
         "assign_flow": round(assign_flow_ms, 3),
     }
@@ -371,4 +463,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(supervise())
