@@ -120,12 +120,19 @@ def _auction_duals(src: np.ndarray, tgt: np.ndarray):
 
 
 def energy(pred_pc_list, pc_list, trans_list, joint_connection, seg_part,
-           complete_pred_pc_list=None, include_group: bool = True):
-    """Model-selection energy: 100 * ass_err + screw_err (+ group_err)
-    (run_robot.py:306-314; sapien omits the group term, run_sapien.py:326)."""
+           complete_pred_pc_list=None, include_group: bool = True,
+           ass_scale: float | None = None):
+    """Model-selection energy (reference conventions, per domain):
+    robot = 100 * ass_err + screw_err + group_err (run_robot.py:306-314);
+    sapien/real = RAW ass_err + screw_err, no group term
+    (run_sapien.py:323-326, run_real.py:297-300 — the x100 is robot-only).
+    ass_scale=None follows that convention via include_group (True on the
+    robot domain at every call site); pass it explicitly to override."""
     from reart_tpu.graph import compute_screw_cost
 
-    ass_err = 100.0 * compute_ass_err(pred_pc_list, pc_list)
+    if ass_scale is None:
+        ass_scale = 100.0 if include_group else 1.0
+    ass_err = ass_scale * compute_ass_err(pred_pc_list, pc_list)
     screw_err = (0.0 if np.asarray(joint_connection).shape[0] == 0 else
                  float(compute_screw_cost(trans_list, joint_connection)))
     total = ass_err + screw_err

@@ -48,11 +48,7 @@ def export_checkpoint(ckpt_path: str, model: str, out_path: str) -> int:
     return cano_idx
 
 
-def run_reference_eval(torch_ckpt: str, model: str, seq_path: str,
-                       save_root: str, cano_idx: int, num_points: int,
-                       num_parts: int) -> str:
-    """Import the unmodified reference run_robot and call its main() with an
-    --evaluate namespace. Returns the path of the result.txt it writes."""
+def _enter_reference():
     sys.path.insert(0, os.path.join(REPO, "scripts", "refstubs"))
     sys.path.insert(0, REFERENCE)
 
@@ -60,9 +56,17 @@ def run_reference_eval(torch_ckpt: str, model: str, seq_path: str,
 
     if not hasattr(nx, "read_gpickle"):  # removed in networkx >= 3.0
         nx.read_gpickle = lambda p: pickle.load(open(p, "rb"))
-
     cwd = os.getcwd()
     os.chdir(REFERENCE)  # the reference resolves some paths relative to it
+    return cwd
+
+
+def run_reference_eval(torch_ckpt: str, model: str, seq_path: str,
+                       save_root: str, cano_idx: int, num_points: int,
+                       num_parts: int) -> str:
+    """Import the unmodified reference run_robot and call its main() with an
+    --evaluate namespace. Returns the path of the result.txt it writes."""
+    cwd = _enter_reference()
     try:
         import run_robot
 
@@ -88,14 +92,91 @@ def run_reference_eval(torch_ckpt: str, model: str, seq_path: str,
     return os.path.join(save_root, seq_name, "result.txt")
 
 
+def run_reference_eval_sapien(torch_ckpt: str, model: str, base_folder: str,
+                              save_root: str, cano_idx: int,
+                              num_parts: int) -> str:
+    """Drive the unmodified /root/reference/run_sapien.py --evaluate over our
+    exported checkpoint (run_sapien.py:128-143 resume; :268-298 the
+    full-flow-EPE / per-scan-RI / multi-scan-RI eval whose result.txt we
+    parse). The msync package the reference imports at module scope
+    (run_sapien.py:25, sapien_utils.py:15-17, dataset_sapien.py:5) is
+    supplied by scripts/refstubs/msync — a real Isometry (the dataset
+    composes GT motion with it) plus inert net shells; the flow nets are
+    never constructed under --evaluate without --use_flow_loss."""
+    cwd = _enter_reference()
+    try:
+        import run_sapien
+
+        args = argparse.Namespace(
+            manual_seed=2, resume=[torch_ckpt], evaluate=True,
+            snapshot_gap=100, use_cuda=0, cano_idx=cano_idx,
+            seq_path="", start_tau=1.0, end_tau=1.0, seg_lr=1e-3,
+            trans_lr=1e-2, weight_decay=0.0, n_iter=2000, assign_iter=1000,
+            num_parts=num_parts, model=model, base_result_path=None,
+            use_flow_loss=False, use_assign_loss=False, use_nproc=False,
+            downsample=1, assign_gap=5, lambda_assign=3e-1, lambda_flow=1.0,
+            lambda_joint=1e-1, cano_dist_thr=1e-2, merge_thr=3e-2,
+            merge_it=3, save_root=save_root,
+            sapien_base_folder=base_folder, sapien_idx=0,
+            flow_model_config_path="msync/config/articulated-full.yaml",
+            flow_model_path="msync/ckpt/articulated-full/best.pth.tar",
+        )
+        run_sapien.main(args)
+    finally:
+        os.chdir(cwd)
+    return os.path.join(save_root, "sapien_0", "result.txt")
+
+
+def run_reference_eval_real(torch_ckpt: str, model: str, seq_path: str,
+                            save_root: str, cano_idx: int, num_points: int,
+                            num_parts: int) -> str:
+    """Drive the unmodified /root/reference/run_real.py over our exported
+    checkpoint. Under --evaluate the reference writes NO numeric metrics for
+    the real domain (run_real.py:296-316 is gated by `not args.evaluate`),
+    only the artifact set — so the numeric row comes from a one-iteration
+    NON-evaluate run at trans_lr=0 (Adam with lr 0 is a no-op step;
+    run_real.py:240-243 then re-forwards the unchanged parameters), which
+    writes ass/cd/screw/total to result.txt. trimesh is supplied by
+    scripts/refstubs/trimesh (OBJ + area-weighted surface sampling) — the
+    clouds are RE-SAMPLED from the same meshes, so agreement is statistical,
+    not bitwise."""
+    cwd = _enter_reference()
+    try:
+        import run_real
+
+        args = argparse.Namespace(
+            manual_seed=2, resume=[torch_ckpt], evaluate=False,
+            snapshot_gap=100, silence=True, use_cuda=0, cano_idx=cano_idx,
+            num_points=num_points, seq_path=seq_path, start_tau=1.0,
+            end_tau=1.0, seg_lr=0.0, trans_lr=0.0, weight_decay=0.0,
+            n_iter=1, assign_iter=1000, num_parts=num_parts, model=model,
+            base_result_path=None,
+            corr_model_path="pretrained/corr_model.pth.tar",
+            use_flow_loss=False, use_robust_loss=False,
+            use_assign_loss=False, use_nproc=False, downsample=4,
+            assign_gap=5, lambda_assign=3e-1, lambda_flow=1.0,
+            lambda_joint=1e-1, cano_dist_thr=1e-2, merge_thr=3e-2,
+            merge_it=3, save_root=save_root, save_vis=False,
+        )
+        run_real.main(args)
+    finally:
+        os.chdir(cwd)
+    seq_name = seq_path.rstrip("/").split("/")[-1]
+    return os.path.join(save_root, seq_name, "result.txt")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True,
                     help="our model.ckpt.pkl (checkpoint.save_checkpoint)")
     ap.add_argument("--model", default="kinematic",
                     choices=["base", "kinematic"])
+    ap.add_argument("--domain", default="robot",
+                    choices=["robot", "sapien", "real"])
     ap.add_argument("--seq_path",
-                    default=os.path.join(REFERENCE, "demo_data/data/nao"))
+                    default=os.path.join(REFERENCE, "demo_data/data/nao"),
+                    help="robot/real sequence dir, or the sapien base "
+                         "folder (meta.json + data/*.npz)")
     ap.add_argument("--save_root", default="/tmp/revparity")
     ap.add_argument("--num_points", default=4096, type=int)
     ap.add_argument("--num_parts", default=20, type=int)
@@ -108,10 +189,20 @@ def main(argv=None):
     cano_idx = export_checkpoint(args.ckpt, args.model, torch_ckpt)
     print(f"exported {args.ckpt} -> {torch_ckpt} (cano_idx={cano_idx})")
 
-    result_path = run_reference_eval(
-        torch_ckpt, args.model, os.path.abspath(args.seq_path),
-        os.path.abspath(args.save_root), cano_idx, args.num_points,
-        args.num_parts)
+    if args.domain == "sapien":
+        result_path = run_reference_eval_sapien(
+            torch_ckpt, args.model, os.path.abspath(args.seq_path),
+            os.path.abspath(args.save_root), cano_idx, args.num_parts)
+    elif args.domain == "real":
+        result_path = run_reference_eval_real(
+            torch_ckpt, args.model, os.path.abspath(args.seq_path),
+            os.path.abspath(args.save_root), cano_idx, args.num_points,
+            args.num_parts)
+    else:
+        result_path = run_reference_eval(
+            torch_ckpt, args.model, os.path.abspath(args.seq_path),
+            os.path.abspath(args.save_root), cano_idx, args.num_points,
+            args.num_parts)
 
     print("\n=== reference evaluator result.txt ===")
     ref_txt = open(result_path).read()

