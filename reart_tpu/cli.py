@@ -191,15 +191,22 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                         "user run one process per candidate)")
     p.add_argument("--auto_cano_iters", default=None, type=int,
                    help="selection-fit iterations (default n_iter // 10)")
-    p.add_argument("--tree_search", default=0, type=int,
+    p.add_argument("--tree_search", default=-1, type=int,
                    help="kinematic stage: short-fit the greedy MST plus its "
                         "K-1 cheapest edge-swap spanning-tree neighbors and "
                         "keep the lowest-energy tree (the projection ablation"
                         " attributes the stage's flow degradation entirely "
-                        "to MST topology error; 0/1 = off, reference "
-                        "behavior)")
+                        "to MST topology error; -1 = auto [default]: sweep "
+                        "K=8 but only when a swap's local cost delta is "
+                        "within --tree_search_margin of the typical edge "
+                        "cost, i.e. the MST is actually ambiguous; 0/1 = "
+                        "off, reference behavior)")
     p.add_argument("--tree_search_iter", default=100, type=int,
                    help="per-candidate short-fit iterations")
+    p.add_argument("--tree_search_margin", default=0.5, type=float,
+                   help="auto mode ambiguity gate: sweep only candidates "
+                        "whose swap delta <= margin * median finite "
+                        "inter-part edge cost")
     p.add_argument("--frame_shard", default="auto", choices=["auto", "off"],
                    help="shard THIS sequence's frames over all visible "
                         "devices during the fit (SURVEY §2.7 shard_map-over-T;"
@@ -229,6 +236,13 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                         "over its k nearest matched anchors — removes the "
                         "~point-spacing sampling error of raw matches "
                         "(flow.refine_targets_local_rigid)")
+    p.add_argument("--match_chain_r", default=0.0, type=float,
+                   help="if > 0, cycle-consistent chaining over frame "
+                        "triples: skip matches (t, t+2) vote on composed "
+                        "consecutive matches (closure radius = this value, "
+                        "normalized units), dropping contradicted matches "
+                        "and filling holes with doubly-mutual inferred "
+                        "matches (flow.cycle_chain_matches)")
     if domain in ("robot", "real"):
         p.add_argument("--corr_model_path",
                        default="pretrained/corr_model.pth.tar", type=str)
@@ -384,7 +398,8 @@ def setup_flow(args, domain: str, dataset, sample):
                                                      0),
                               scale=scale, matching="smnn",
                               th=getattr(args, "match_th", 0.9),
-                              disp_gate=getattr(args, "match_disp_gate", 0.0))
+                              disp_gate=getattr(args, "match_disp_gate", 0.0),
+                              chain_r=getattr(args, "match_chain_r", 0.0))
 
 
 def _corr_training_frames(args):
@@ -614,7 +629,8 @@ def build_kinematic_from_result(args, domain: str, cano_pc, result: dict,
                 seg_part, aligned_trans(seg_part, trans_list), cano_pc,
                 args.merge_thr))
 
-    if (getattr(args, "tree_search", 0) > 1 and pc_list is not None
+    ts = getattr(args, "tree_search", 0)
+    if ((ts > 1 or ts < 0) and pc_list is not None
             and len(np.unique(np.asarray(seg_part))) > 2):  # >1 spanning tree
         return tree_search_build(args, domain, cano_pc, seg_part, trans_list,
                                  pc_list, cfg, flow_ctx, key,
@@ -645,6 +661,12 @@ def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
     (ass + screw [+ group], the same energy the reference uses to select the
     canonical frame, run_robot.py:305-321). All candidates share one
     compiled fit program: identical (P, E) and a pad_depth=P-1 path matrix.
+
+    --tree_search -1 (auto, the default) sweeps K=8 but only keeps swap
+    candidates whose local cost delta is within --tree_search_margin of the
+    median finite inter-part edge cost: a swap that costs much more than a
+    typical edge cannot be a serious rival, and when no swap passes the gate
+    the sweep is skipped entirely (plain MST, zero extra fits).
     """
     import dataclasses
 
@@ -667,11 +689,30 @@ def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
             seg_part, graph_trans, cano_pc, num_fps=20,
             cano_dist_thr=args.cano_dist_thr,
             joint_cost_weight=args.lambda_joint, return_cost=True)
-        cands = tree_candidates(cost, uni, k=args.tree_search)
+        ts = int(getattr(args, "tree_search", 0))
+        k = ts if ts > 1 else 8  # -1 = auto mode sweeps K=8
+        cands, deltas = tree_candidates(cost, uni, k=k, return_deltas=True)
+        if ts < 0:  # auto: gate on MST local ambiguity
+            c = np.asarray(cost, np.float64)
+            off = c[~np.eye(c.shape[0], dtype=bool)]
+            finite = off[np.isfinite(off)]
+            typical = float(np.median(finite)) if finite.size else 0.0
+            margin = float(getattr(args, "tree_search_margin", 0.5))
+            keep = [i for i, d in enumerate(deltas) if d <= margin * typical]
+            if len(keep) < len(cands):
+                print(f"tree_search auto: {len(cands) - len(keep)}/"
+                      f"{len(cands) - 1} swaps above the ambiguity margin "
+                      f"({margin:g} x median edge cost {typical:.4f}) — "
+                      f"sweeping {len(keep)} candidate(s)", flush=True)
+            cands = [cands[i] for i in keep]
         if stored_tree is not None and not any(
                 np.array_equal(np.sort(np.asarray(c), axis=1),
                                np.sort(stored_tree, axis=1)) for c in cands):
-            cands = [stored_tree] + cands[: max(args.tree_search - 1, 1)]
+            cands = [stored_tree] + cands[: max(k - 1, 1)]
+
+    if len(cands) == 1:  # MST locally unambiguous: plain build, no sweep
+        return kinematic_from_tree(args, domain, cano_pc, seg_part,
+                                   trans_list, cands[0])
 
     p = len(np.unique(np.asarray(seg_part)))
     pad_depth = max(p - 1, 1)

@@ -78,6 +78,11 @@ def compute_corr_masks(norm_pc_list, extract_fn, matching: str = "smnn",
     tgt_feat = extract_fn(norm_pc_list[1:])
     src_feat = jax.lax.stop_gradient(src_feat)
     tgt_feat = jax.lax.stop_gradient(tgt_feat)
+    per_pair = _per_pair_matcher(matching, th)
+    return jax.vmap(per_pair)(src_feat, tgt_feat)
+
+
+def _per_pair_matcher(matching: str, th: float):
     if matching == "mnn":
         def per_pair(s, t):
             nns01 = jnp.argmin(pairwise_sqdist(s, t), axis=-1)
@@ -89,7 +94,86 @@ def compute_corr_masks(norm_pc_list, extract_fn, matching: str = "smnn",
             return j, valid
     else:
         raise ValueError(f"unknown matching {matching}")
-    return jax.vmap(per_pair)(src_feat, tgt_feat)
+    return per_pair
+
+
+def cycle_chain_matches(norm_pcs, feats, tgt_idx, valid, th: float = 0.9,
+                        close_r: float = 0.04, drop_broken: bool = True):
+    """Cycle-consistent match chaining over frame triples (t, t+1, t+2).
+
+    Two independent paths lead from frame t to frame t+2: the COMPOSITION of
+    the consecutive matches (i -> j1_t[i] -> j1_{t+1}[j1_t[i]]) and the
+    direct skip match (i -> j2_t[i], SMNN on the same features). Where both
+    exist they vote on each other:
+
+      * a chain whose two endpoints land within `close_r` CLOSES — both
+        consecutive matches on it are confirmed;
+      * a chain that lands far BREAKS — a consecutive match that breaks
+        chains and closes none is dropped (some hop is wrong, and a match
+        with zero independent confirmation is not worth the anchor risk);
+      * a skip match whose target has an inverse under the adjacent
+        consecutive pair DENSIFIES: i unmatched at (t, t+1) but skip-matched
+        to j2, with x -> j2 a mutual match of (t+1, t+2), yields the inferred
+        match i -> x (the composition closes EXACTLY by construction — it is
+        doubly mutual); symmetrically for a hole at (t+1, t+2).
+
+    Beyond-reference capability (the reference matches each consecutive pair
+    independently, flow_utils.py:116-143). One-time host-side setup; only
+    the T-2 skip-pair SMNN solves run on device.
+
+    norm_pcs: (T, N, 3) the SAME normalized clouds the features were
+    extracted from (`close_r` is in these units). feats: (T, N, D)
+    descriptors. tgt_idx/valid: (T-1, N) consecutive matches to tighten.
+    Returns (tgt_idx, valid) copies.
+    """
+    pcs = np.asarray(norm_pcs, np.float32)
+    t_frames, n = pcs.shape[0], pcs.shape[1]
+    j1 = np.asarray(tgt_idx).copy()
+    v1 = np.asarray(valid).astype(bool).copy()
+    if t_frames < 3:
+        return j1, v1
+
+    def skip_pair(s, t):
+        _, j, v = match_smnn(s, t, th)
+        return j, v
+
+    j2, v2 = jax.vmap(skip_pair)(jnp.asarray(feats[:-2]),
+                                 jnp.asarray(feats[2:]))
+    j2, v2 = np.asarray(j2), np.asarray(v2).astype(bool)
+
+    closed = np.zeros((t_frames - 1, n), np.int32)
+    broken = np.zeros((t_frames - 1, n), np.int32)
+    adds: list[tuple[int, np.ndarray, np.ndarray]] = []
+    for t in range(t_frames - 2):
+        a_j, a_v = j1[t], v1[t]
+        b_j, b_v = j1[t + 1], v1[t + 1]
+        s_j, s_v = j2[t], v2[t]
+        comp = b_j[a_j]                      # composed target in frame t+2
+        both = a_v & b_v[a_j] & s_v
+        dist = np.linalg.norm(pcs[t + 2][comp] - pcs[t + 2][s_j], axis=-1)
+        ok = both & (dist <= close_r)
+        bad = both & ~ok
+        np.add.at(closed[t], np.flatnonzero(ok), 1)
+        np.add.at(closed[t + 1], a_j[ok], 1)
+        np.add.at(broken[t], np.flatnonzero(bad), 1)
+        np.add.at(broken[t + 1], a_j[bad], 1)
+
+        # densify pair t: hole i, skip i->j2, inverse of (t+1, t+2) at j2
+        inv_b = np.full(n, -1, np.int64)
+        inv_b[b_j[b_v]] = np.flatnonzero(b_v)
+        cand = ~a_v & s_v & (inv_b[s_j] >= 0)
+        adds.append((t, np.flatnonzero(cand), inv_b[s_j[cand]]))
+        # densify pair t+1: i -> x matched, i skip-matched, x unmatched
+        cand2 = a_v & s_v & ~b_v[a_j]
+        adds.append((t + 1, a_j[cand2], s_j[cand2]))
+
+    if drop_broken:
+        v1 &= ~((broken > 0) & (closed == 0))
+    for t, rows, targets in adds:
+        fresh = ~v1[t][rows]  # never overwrite a surviving direct match
+        j1[t][rows[fresh]] = targets[fresh]
+        v1[t][rows[fresh]] = True
+    return j1, v1
 
 
 def gate_matches_by_displacement(pcs, tgt_idx, valid, k_mad: float = 6.0):
@@ -209,7 +293,8 @@ def build_flow_context(complete_pc_list, extract_fn=None, centroid=None,
                        scale=None, matching: str = "smnn", th: float = 0.9,
                        corr: tuple | None = None,
                        disp_gate: float = 0.0,
-                       rigid_refine_k: int = 0) -> FlowContext:
+                       rigid_refine_k: int = 0,
+                       chain_r: float = 0.0) -> FlowContext:
     """One-time flow-supervision setup (run_robot.py:76-84): match every
     consecutive pair, then anchor flows at the matched source points.
 
@@ -218,7 +303,9 @@ def build_flow_context(complete_pc_list, extract_fn=None, centroid=None,
     centroid/scale are given. Pass `corr=(tgt_idx, valid)` to reuse
     precomputed correspondences (e.g. an external flow provider).
     disp_gate > 0 additionally drops displacement outliers (k_mad = the
-    value) — see gate_matches_by_displacement.
+    value) — see gate_matches_by_displacement. chain_r > 0 enables
+    cycle-consistent chaining over frame triples with that closure radius
+    (normalized units) — see cycle_chain_matches.
     """
     pcs = np.asarray(complete_pc_list, np.float32)
     if corr is None:
@@ -226,7 +313,18 @@ def build_flow_context(complete_pc_list, extract_fn=None, centroid=None,
         norm = pcs if centroid is None else np.asarray(
             normalize_pc_list(jnp.asarray(pcs), jnp.asarray(centroid), scale)
         )
-        tgt_idx, valid = compute_corr_masks(norm, extract_fn, matching, th)
+        if chain_r > 0.0:
+            # extract once (T passes instead of 2(T-1)), reuse the features
+            # for both the consecutive matches and the skip-pair chains
+            feats = jax.lax.stop_gradient(extract_fn(jnp.asarray(norm)))
+            per_pair = _per_pair_matcher(matching, th)
+            tgt_idx, valid = jax.vmap(per_pair)(feats[:-1], feats[1:])
+            tgt_idx, valid = cycle_chain_matches(norm, np.asarray(feats),
+                                                 tgt_idx, valid, th=th,
+                                                 close_r=chain_r)
+        else:
+            tgt_idx, valid = compute_corr_masks(norm, extract_fn, matching,
+                                                th)
     else:
         tgt_idx, valid = corr
     tgt_idx = np.asarray(tgt_idx)

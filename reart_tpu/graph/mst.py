@@ -211,7 +211,8 @@ def mst_wrapper(seg_part, trans, cano_pc, verbose: bool = False,
     return edges
 
 
-def tree_candidates(cost, uni_label=None, k: int = 8):
+def tree_candidates(cost, uni_label=None, k: int = 8,
+                    return_deltas: bool = False):
     """The greedy MST plus its cheapest 1-edge-swap spanning-tree neighbors.
 
     The MST minimizes the SUM of local edge costs; the kinematic projection's
@@ -225,11 +226,16 @@ def tree_candidates(cost, uni_label=None, k: int = 8):
     uses for canonical-frame selection, run_robot.py:305-321).
 
     Returns a list of (P-1, 2) int64 edge arrays (labels from `uni_label`),
-    the greedy MST first, at most `k` entries, deduplicated.
+    the greedy MST first, at most `k` entries, deduplicated. With
+    `return_deltas` also returns the swap's local cost delta per candidate
+    (0.0 for the MST itself) — the CLI's auto mode gates the energy sweep on
+    it: a large delta means the MST is locally unambiguous and the swap
+    cannot be a serious rival.
     """
     cost = np.asarray(cost, dtype=np.float64)
     p = cost.shape[0]
     base = mst(cost, uni_label=None, keep_index=True)
+    deltas = [0.0]
     if p <= 2 or len(base) < p - 1:
         out = [base]
     else:
@@ -252,7 +258,7 @@ def tree_candidates(cost, uni_label=None, k: int = 8):
         swaps.sort(key=lambda s: s[0])
 
         out, seen = [base], {frozenset(map(tuple, np.sort(base, axis=1)))}
-        for _, (a, b), (u, v) in swaps:
+        for delta, (a, b), (u, v) in swaps:
             if len(out) >= k:
                 break
             edges = [e for e in base.tolist()
@@ -266,7 +272,10 @@ def tree_candidates(cost, uni_label=None, k: int = 8):
                 continue
             seen.add(key)
             out.append(arr)
+            deltas.append(float(delta))
     if uni_label is not None:
         uni_label = np.asarray(uni_label)
         out = [uni_label[t] for t in out]
+    if return_deltas:
+        return out, deltas
     return out

@@ -206,3 +206,53 @@ class TestRigidRefine:
         assert raw.pc_ref.shape == ref.pc_ref.shape
         # identity matching on identical frames: zero flow either way
         np.testing.assert_allclose(np.asarray(ref.flow_ref), 0.0, atol=1e-4)
+
+
+class TestCycleChain:
+    """flow.cycle_chain_matches: vote + densify over frame triples."""
+
+    def _fixture(self):
+        rng = np.random.RandomState(0)
+        n, d = 12, 16
+        base = np.zeros((n, d), np.float32)
+        base[:, :n] = 10.0 * np.eye(n)
+        feats = np.stack([base + 0.001 * rng.randn(n, d).astype(np.float32)
+                          for _ in range(3)])  # identity matches, all pairs
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, 0] = np.arange(n)  # spacing 1.0 >> close_r
+        pcs = np.stack([pts] * 3)
+        j = np.tile(np.arange(n), (2, 1))
+        v = np.ones((2, n), bool)
+        return feats, pcs, j, v
+
+    def test_densify_fills_holes_both_pairs(self):
+        from reart_tpu.flow import cycle_chain_matches
+
+        feats, pcs, j, v = self._fixture()
+        v[0, 5] = False  # hole at pair 0
+        v[1, 6] = False  # hole at pair 1
+        j2, v2 = cycle_chain_matches(pcs, feats, j, v, close_r=0.1)
+        assert v2.all()
+        np.testing.assert_array_equal(j2, j)  # inferred matches = identity
+
+    def test_drops_contradicted_match_keeps_confirmed(self):
+        from reart_tpu.flow import cycle_chain_matches
+
+        feats, pcs, j, v = self._fixture()
+        j[0, 7] = 8  # wrong: composition lands at x=8, skip says x=7
+        j2, v2 = cycle_chain_matches(pcs, feats, j, v, close_r=0.1)
+        # (1, 8) broke that chain too but CLOSES its own (8->8->8): kept
+        assert v2[1, 8]
+        # every identity match elsewhere survives
+        assert v2[0, :7].all() and v2[0, 9:].all() and v2[1].all()
+        # the wrong match is either dropped or replaced by the verified
+        # inferred identity match (skip 7->7 composed with pair-1 inverse)
+        assert (not v2[0, 7]) or j2[0, 7] == 7
+
+    def test_short_sequence_passthrough(self):
+        from reart_tpu.flow import cycle_chain_matches
+
+        feats, pcs, j, v = self._fixture()
+        j2, v2 = cycle_chain_matches(pcs[:2], feats[:2], j[:1], v[:1])
+        np.testing.assert_array_equal(j2, j[:1])
+        np.testing.assert_array_equal(v2, v[:1])

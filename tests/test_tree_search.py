@@ -42,6 +42,18 @@ def test_tree_candidates_invariants(rng):
         assert np.isin(t, uni).all()
 
 
+def test_tree_candidates_deltas(rng):
+    """return_deltas: the MST carries delta 0, swaps carry their local cost
+    delta in ascending order (the CLI auto gate keys off these)."""
+    p = 6
+    cost = rng.rand(p, p) * 2 + 1e4 * np.eye(p)
+    cands, deltas = tree_candidates(cost, k=5, return_deltas=True)
+    assert len(deltas) == len(cands)
+    assert deltas[0] == 0.0
+    assert all(d >= 0.0 for d in deltas)
+    assert deltas[1:] == sorted(deltas[1:])
+
+
 def test_tree_candidates_degenerate():
     # P=2: exactly one spanning tree
     cost = np.array([[1e4, 1.0], [2.0, 1e4]])
@@ -145,9 +157,12 @@ def test_tree_search_recovers_topology(offset_hinge_dir, tmp_path):
         state = ckpt.restore_kinematic_state(payload)
         return {tuple(sorted(e)) for e in state.edges}
 
-    plain = run(str(tmp_path / "plain"), [])
+    plain = run(str(tmp_path / "plain"), ["--tree_search", "0"])
     assert plain == {(0, 1), (1, 2)}  # wrong stored tree honored
 
+    # round 4: -1 (auto) is the product DEFAULT — no flag passed. The stored
+    # tree is injected past the ambiguity gate, so the sweep must run and
+    # recover the true star topology.
     searched = run(str(tmp_path / "searched"),
-                   ["--tree_search", "3", "--tree_search_iter", "40"])
+                   ["--tree_search_iter", "40"])
     assert searched == {(0, 1), (0, 2)}  # true star topology recovered
