@@ -538,7 +538,7 @@ def _band_offsets(n: int, m: int, w: int, tile: int):
             for t in range(n // tile)]
 
 
-def _banded_kernel(eps_list, max_sweeps, n, m, w, tile, g,
+def _banded_kernel(eps_list, max_sweeps, carry, n, m, w, tile, g,
                    src_ref, tgt_ref, p_ref, r2c_ref, po_ref,
                    band, cbid, cwin):
     # Per-row state lives as TUPLES of per-tile (G, tile) arrays — Mosaic
@@ -653,12 +653,46 @@ def _banded_kernel(eps_list, max_sweeps, n, m, w, tile, g,
         n_owned = jnp.min(jnp.sum(jnp.where(c2r >= 0, 1, 0), axis=1))
         return jnp.logical_and(n_owned < n, it < max_sweeps)
 
+    def unseat_violators(c2r, eps):
+        """PHASE CARRYOVER (round 4): instead of re-auctioning every row at
+        each tighter epsilon (the classical restart), keep the previous
+        phase's assignment and unseat ONLY rows violating eps-CS at the new
+        eps: value(i, j_i) < max_j value(i, j) - eps. The bound survives: a
+        kept row's own column price is frozen while it holds the seat (it
+        re-bids if unseated), and other columns' prices only RISE during the
+        phase — so the condition checked here can only get slacker. Each
+        phase then pays one band pass + straggler cleanup instead of a full
+        re-auction (the converged-tile skip makes mostly-assigned sweeps
+        nearly free). cbid doubles as the (G, m) unseat-mask accumulator
+        (windows overlap; refs take windowed writes, values don't)."""
+        price = po_ref[:, 0]
+        cbid[...] = jnp.zeros((g, m), jnp.float32)
+        for t in range(ntiles):
+            o = offs[t]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (g, tile, w), 1) \
+                + t * tile
+            own = c2r[:, o:o + w][:, None, :] == rows  # (G, tile, w)
+            v = band[:, t * tile:(t + 1) * tile, :] \
+                - price[:, o:o + w][:, None, :]
+            m1 = jnp.max(v, axis=2)                          # (G, tile)
+            cur = jnp.max(jnp.where(own, v, NEG_INF), axis=2)
+            viol = cur < m1 - eps      # unassigned rows own nothing: no-op
+            hit = jnp.max(jnp.where(
+                jnp.logical_and(own, viol[..., None]), 1.0, 0.0), axis=1)
+            cbid[:, o:o + w] = jnp.maximum(cbid[:, o:o + w], hit)
+        return jnp.where(cbid[...] > 0, -1, c2r)
+
     fresh = jnp.full((g, m), -1, jnp.int32)
     c2r = fresh
-    for eps in eps_list:
+    for pi, eps in enumerate(eps_list):
+        if carry:
+            if pi:
+                c2r = unseat_violators(c2r, eps)
+        else:
+            c2r = fresh  # classical restart: re-match every row per phase
         c2r, _, _ = jax.lax.while_loop(
             phase_cond, sweep,
-            (fresh, jnp.asarray(0, jnp.int32), jnp.asarray(eps, jnp.float32)))
+            (c2r, jnp.asarray(0, jnp.int32), jnp.asarray(eps, jnp.float32)))
 
     # derive the row map from the owner map; greedy in-band completion
     # (best in-band column) of rows left unassigned by the sweep bound
@@ -686,11 +720,12 @@ def band_group(b: int, n: int, w: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps_list", "max_sweeps", "w", "tile", "group"))
+    jax.jit, static_argnames=("eps_list", "max_sweeps", "w", "tile", "group",
+                              "carry"))
 def auction_solve_banded(src_rm: jnp.ndarray, tgt_cm: jnp.ndarray,
                          price: jnp.ndarray, eps_list: tuple,
                          max_sweeps: int, w: int, tile: int | None = None,
-                         group: int | None = None):
+                         group: int | None = None, carry: bool = True):
     """Banded epsilon-scaled auction straight from SORTED points.
 
     src_rm: ROW-major (B, N, 3); tgt_cm: channel-major (B, 3, M); float32,
@@ -699,6 +734,10 @@ def auction_solve_banded(src_rm: jnp.ndarray, tgt_cm: jnp.ndarray,
     indices — every row assigned, band-best fallback at the sweep bound —
     and final prices). `group` batch elements solve inside one kernel
     instance (3-D ops amortize per-op overhead); B pads up to a multiple.
+    `carry` (default) keeps the assignment across epsilon phases, unseating
+    only eps-CS violators at each phase start — same n*eps optimality bound,
+    straggler-only later phases; False restores the classical per-phase
+    restart (the A/B arm, scripts/ab_lap_carry.py).
     """
     b, n, _ = src_rm.shape
     m = tgt_cm.shape[2]
@@ -712,8 +751,8 @@ def auction_solve_banded(src_rm: jnp.ndarray, tgt_cm: jnp.ndarray,
         src_rm, tgt_cm, price = rep(src_rm), rep(tgt_cm), rep(price)
     bp = b + pad
     r2c, po = pl.pallas_call(
-        functools.partial(_banded_kernel, eps_list, max_sweeps, n, m, w,
-                          tile, group),
+        functools.partial(_banded_kernel, eps_list, max_sweeps, carry, n, m,
+                          w, tile, group),
         grid=(bp // group,),
         in_specs=[
             pl.BlockSpec((group, n, 3), lambda bi: (bi, 0, 0),

@@ -326,6 +326,36 @@ class TestBandedAuction:
             assert len(np.unique(r2c[i])) == n  # converged: true permutation
             assert got <= opt + n * 1e-4 * 2 + 1e-4, (i, got, opt)
 
+    def test_phase_carryover_near_exact(self):
+        """Round 4: epsilon-phase carryover (unseat only eps-CS violators at
+        each phase start) must keep the SAME n*eps optimality bound as the
+        classical per-phase restart — both arms converge to permutations
+        within the final-epsilon bound on a full-band problem."""
+        from scipy.optimize import linear_sum_assignment
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reart_tpu.ops.pallas_auction import auction_solve_banded
+
+        rng = np.random.RandomState(11)
+        b, n = 2, 64
+        src = rng.randn(b, n, 3).astype(np.float32)
+        tgt = (src + 0.03 * rng.randn(b, n, 3)).astype(np.float32)
+        args = (jnp.asarray(src), jnp.transpose(jnp.asarray(tgt), (0, 2, 1)),
+                jnp.zeros((b, n), jnp.float32))
+        kw = dict(eps_list=(1e-2, 1e-3, 1e-4), max_sweeps=2000, w=n, tile=8)
+        with pltpu.force_tpu_interpret_mode():
+            r_carry, _ = auction_solve_banded(*args, carry=True, **kw)
+            r_restart, _ = auction_solve_banded(*args, carry=False, **kw)
+        for i in range(b):
+            cost = np.sqrt(((src[i][:, None] - tgt[i][None]) ** 2).sum(-1))
+            r, c = linear_sum_assignment(cost)
+            opt = cost[r, c].sum()
+            for r2c in (np.asarray(r_carry)[i], np.asarray(r_restart)[i]):
+                assert len(np.unique(r2c)) == n  # converged permutation
+                got = cost[np.arange(n), r2c].sum()
+                assert got <= opt + n * 1e-4 * 2 + 1e-4, (i, got, opt)
+
     def test_group_invariance(self):
         """group=1 and group=B must produce identical matchings/prices
         (padding rows are dropped; per-element math is independent)."""
