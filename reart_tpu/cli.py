@@ -649,6 +649,37 @@ def build_kinematic_from_result(args, domain: str, cano_pc, result: dict,
                                joint_connection)
 
 
+def _axis_excess(fitted, state, cano_pc, seg) -> float:
+    """Mean normalized distance-beyond-object-radius of each fitted REVOLUTE
+    axis from its child part's centroid (0.0 whenever every axis passes
+    within the object's bounding radius — i.e. for every physically sane
+    tree). Used by tree_search_build to veto translation-in-disguise
+    candidates; prismatic edges are exempt (their axis is a direction)."""
+    axis = np.asarray(fitted["axis_list"], np.float64)
+    moment = np.asarray(fitted["moment_list"], np.float64)
+    pris = (np.zeros(len(axis), bool) if state.prismatic_mask is None
+            else np.asarray(state.prismatic_mask))
+    pts = np.asarray(cano_pc, np.float64)
+    center = pts.mean(0)
+    r_obj = float(np.linalg.norm(pts - center, axis=-1).max())
+    seg = np.asarray(seg)
+    exc = []
+    for e, (child, _parent) in enumerate(np.asarray(state.edges)):
+        if pris[e]:
+            continue
+        l_vec = axis[e]
+        nl = float(np.linalg.norm(l_vec))
+        if nl < 1e-8:
+            continue
+        l_unit = l_vec / nl
+        p0 = np.cross(l_unit, moment[e] / nl)  # closest axis point to origin
+        mask = seg == child
+        c = pts[mask].mean(0) if mask.any() else center
+        d = float(np.linalg.norm(np.cross(l_unit, c - p0)))
+        exc.append(max(0.0, d - r_obj) / max(r_obj, 1e-9))
+    return float(np.mean(exc)) if exc else 0.0
+
+
 def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
                       pc_list, cfg, flow_ctx, key, stored_tree=None):
     """Energy-scored kinematic-tree selection (--tree_search K).
@@ -745,14 +776,27 @@ def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
                 jnp.asarray(conn), np.asarray(seg_i),
                 complete_pred_pc_list=complete_pred,
                 include_group=domain == "robot")
+        # Axis-sanity penalty: a candidate can reach LOWER energy than the
+        # true tree by typing a small relative translation as a REVOLUTE
+        # joint about a far-away axis (rotation about an axis at infinity =
+        # translation; measured: a drawer hung off a rotating door fit to
+        # energy 0.0000 that way while the true star tree paid 0.0077).
+        # Energy cannot see this overfit — the fitted axis's distance from
+        # the object can: genuine joints live within the object's extent, so
+        # the penalty is EXACTLY ZERO for every physically-sane candidate
+        # and selection stays pure-energy (flagship behavior unchanged).
+        excess = _axis_excess(fitted, state_i, cano_pc, seg_i)
+        score = energy["total_err"] + excess
         print(f"tree_search candidate {ci}: total_err "
-              f"{energy['total_err']:.4f} edges {conn.tolist()}", flush=True)
-        if best is None or energy["total_err"] < best[0]:
-            best = (energy["total_err"], ci, fitted, cand)
+              f"{energy['total_err']:.4f}"
+              + (f" axis_excess {excess:.3f}" if excess else "")
+              + f" edges {conn.tolist()}", flush=True)
+        if best is None or score < best[0]:
+            best = (score, ci, fitted, cand, energy["total_err"])
 
-    _, ci, fitted, cand = best
+    _, ci, fitted, cand, err = best
     print(f"tree_search: selected candidate {ci} "
-          f"(total_err {best[0]:.4f})", flush=True)
+          f"(total_err {err:.4f})", flush=True)
     # rebuild the winner at its natural path depth (params are
     # depth-independent) and warm-start the full fit from its short fit;
     # re-commit both to the accelerator (host-committed leaves would force

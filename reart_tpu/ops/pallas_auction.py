@@ -725,7 +725,7 @@ def band_group(b: int, n: int, w: int) -> int:
 def auction_solve_banded(src_rm: jnp.ndarray, tgt_cm: jnp.ndarray,
                          price: jnp.ndarray, eps_list: tuple,
                          max_sweeps: int, w: int, tile: int | None = None,
-                         group: int | None = None, carry: bool = True):
+                         group: int | None = None, carry: bool = False):
     """Banded epsilon-scaled auction straight from SORTED points.
 
     src_rm: ROW-major (B, N, 3); tgt_cm: channel-major (B, 3, M); float32,
@@ -734,10 +734,15 @@ def auction_solve_banded(src_rm: jnp.ndarray, tgt_cm: jnp.ndarray,
     indices — every row assigned, band-best fallback at the sweep bound —
     and final prices). `group` batch elements solve inside one kernel
     instance (3-D ops amortize per-op overhead); B pads up to a multiple.
-    `carry` (default) keeps the assignment across epsilon phases, unseating
-    only eps-CS violators at each phase start — same n*eps optimality bound,
-    straggler-only later phases; False restores the classical per-phase
-    restart (the A/B arm, scripts/ab_lap_carry.py).
+    `carry=True` keeps the assignment across epsilon phases, unseating only
+    eps-CS violators at each phase start — same n*eps optimality bound.
+    MEASURED (scripts/ab_lap_carry.py, one session, real nao pairs): with
+    the default 2-phase/50x schedule it does NOT pay — the 50x epsilon drop
+    makes most rows violators anyway (carry ~= restart + an unseat pass),
+    and on the one converging case it was 1.42x SLOWER: kept near-tie rows
+    are displaced only by tiny final-epsilon bid increments, stretching
+    convergence. Off by default; the lever worth pairing it with is a
+    GENTLER multi-phase schedule where few rows violate per drop.
     """
     b, n, _ = src_rm.shape
     m = tgt_cm.shape[2]

@@ -54,6 +54,36 @@ def test_tree_candidates_deltas(rng):
     assert deltas[1:] == sorted(deltas[1:])
 
 
+def test_axis_excess_vetoes_translation_in_disguise():
+    """cli._axis_excess: a fitted REVOLUTE axis far outside the object (the
+    rotation-about-an-axis-at-infinity overfit that mimics a translation)
+    scores > 0; sane in-object axes and prismatic edges score exactly 0."""
+    from types import SimpleNamespace
+
+    from reart_tpu.cli import _axis_excess
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)  # r_obj ~ 0.8
+    seg = np.zeros(200, np.int64)
+    seg[100:] = 1
+
+    def state(pris):
+        return SimpleNamespace(edges=np.array([[1, 0]]),
+                               prismatic_mask=np.asarray(pris))
+
+    # z-axis through the origin: inside the object
+    sane = {"axis_list": np.array([[0.0, 0.0, 1.0]]),
+            "moment_list": np.array([[0.0, 0.0, 0.0]])}
+    assert _axis_excess(sane, state([False]), pts, seg) == 0.0
+
+    # z-axis through (100, 0, 0): moment = p x l = (0, -100, 0)
+    far = {"axis_list": np.array([[0.0, 0.0, 1.0]]),
+           "moment_list": np.array([[0.0, -100.0, 0.0]])}
+    assert _axis_excess(far, state([False]), pts, seg) > 50.0
+    # the same far axis on a PRISMATIC edge is exempt (axis = direction)
+    assert _axis_excess(far, state([True]), pts, seg) == 0.0
+
+
 def test_tree_candidates_degenerate():
     # P=2: exactly one spanning tree
     cost = np.array([[1e4, 1.0], [2.0, 1e4]])
