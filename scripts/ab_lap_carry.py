@@ -64,6 +64,19 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    def with_interp(f):
+        """CPU smoke runs the kernels in pallas interpret mode."""
+        if not args.cpu:
+            return f
+
+        def g():
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                return f()
+        return g
+
     import jax.numpy as jnp
 
     import reart_tpu  # noqa: F401  (compilation cache)
@@ -115,8 +128,8 @@ def main():
         price0 = jnp.zeros((b, n), jnp.float32)
 
         def run(carry):
-            return lambda: PA.auction_solve_banded(
-                src_s, tgt_cm, price0, eps_list, max_sweeps, w, carry=carry)
+            return with_interp(lambda: PA.auction_solve_banded(
+                src_s, tgt_cm, price0, eps_list, max_sweeps, w, carry=carry))
 
         # quality gate: matched cost gap vs exact JV + duplicates, per arm,
         # computed on the SORTED problem (band semantics)

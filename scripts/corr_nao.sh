@@ -53,6 +53,7 @@ python run.py robot --seq_path "$NAO" --cano_idx 4 --use_assign_loss \
     --use_flow_loss --flow_provider corr \
     --corr_model_path "$OUT/corr_model.pkl" \
     --match_th "${MATCH_TH:-0.9}" --match_refine_k "${REFINE_K:-0}" \
+    --match_chain_r "${CHAIN_R:-0}" \
     --normalize_file "$OUT/normalize.pkl" \
     --save_root "$OUT/fit_base"
 
@@ -60,10 +61,11 @@ echo "== 3/3: projection stage (200 iters, recon+flow) =="
 python run.py robot --model kinematic \
     --base_result_path "$OUT/fit_base/nao/result.pkl" \
     --seq_path "$NAO" --cano_idx 4 --n_iter 200 \
-    --tree_search "${TREE_SEARCH:-0}" \
+    --tree_search "${TREE_SEARCH:--1}" \
     --use_flow_loss --flow_provider corr \
     --corr_model_path "$OUT/corr_model.pkl" \
     --match_th "${MATCH_TH:-0.9}" --match_refine_k "${REFINE_K:-0}" \
+    --match_chain_r "${CHAIN_R:-0}" \
     --normalize_file "$OUT/normalize.pkl" \
     --save_root "$OUT/fit_kinematic"
 
