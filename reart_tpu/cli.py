@@ -649,21 +649,29 @@ def build_kinematic_from_result(args, domain: str, cano_pc, result: dict,
                                joint_connection)
 
 
-def _axis_excess(fitted, state, cano_pc, seg) -> float:
+def _axis_excess(fitted, state, cano_pc, seg, return_detail: bool = False):
     """Mean normalized distance-beyond-object-radius of each fitted REVOLUTE
     axis from its child part's centroid (0.0 whenever every axis passes
     within the object's bounding radius — i.e. for every physically sane
     tree). Used by tree_search_build to veto translation-in-disguise
-    candidates; prismatic edges are exempt (their axis is a direction)."""
+    candidates; prismatic edges are exempt (their axis is a direction).
+
+    With return_detail, also returns one record per scored revolute edge:
+    (edge_index, child, excess, theta_amp) where theta_amp is the fitted
+    joint-angle amplitude max-min over frames — the displacement a far axis
+    imputes to the child scales with excess * theta_amp, which is what
+    separates a translation-in-disguise overfit from the harmless
+    ill-conditioned axis of a barely-articulating joint."""
     axis = np.asarray(fitted["axis_list"], np.float64)
     moment = np.asarray(fitted["moment_list"], np.float64)
+    theta = np.asarray(fitted["theta_list"], np.float64)
     pris = (np.zeros(len(axis), bool) if state.prismatic_mask is None
             else np.asarray(state.prismatic_mask))
     pts = np.asarray(cano_pc, np.float64)
     center = pts.mean(0)
     r_obj = float(np.linalg.norm(pts - center, axis=-1).max())
     seg = np.asarray(seg)
-    exc = []
+    exc, detail = [], []
     for e, (child, _parent) in enumerate(np.asarray(state.edges)):
         if pris[e]:
             continue
@@ -676,8 +684,11 @@ def _axis_excess(fitted, state, cano_pc, seg) -> float:
         mask = seg == child
         c = pts[mask].mean(0) if mask.any() else center
         d = float(np.linalg.norm(np.cross(l_unit, c - p0)))
-        exc.append(max(0.0, d - r_obj) / max(r_obj, 1e-9))
-    return float(np.mean(exc)) if exc else 0.0
+        e_exc = max(0.0, d - r_obj) / max(r_obj, 1e-9)
+        exc.append(e_exc)
+        detail.append((e, int(child), e_exc, float(np.ptp(theta[:, e]))))
+    mean = float(np.mean(exc)) if exc else 0.0
+    return (mean, detail) if return_detail else mean
 
 
 def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
@@ -736,10 +747,12 @@ def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
                       f"({margin:g} x median edge cost {typical:.4f}) — "
                       f"sweeping {len(keep)} candidate(s)", flush=True)
             cands = [cands[i] for i in keep]
+            deltas = [deltas[i] for i in keep]
         if stored_tree is not None and not any(
                 np.array_equal(np.sort(np.asarray(c), axis=1),
                                np.sort(stored_tree, axis=1)) for c in cands):
             cands = [stored_tree] + cands[: max(k - 1, 1)]
+            deltas = [float("nan")] + deltas[: max(k - 1, 1)]
 
     if len(cands) == 1:  # MST locally unambiguous: plain build, no sweep
         return kinematic_from_tree(args, domain, cano_pc, seg_part,
@@ -777,20 +790,53 @@ def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
                 complete_pred_pc_list=complete_pred,
                 include_group=domain == "robot")
         # Axis-sanity penalty: a candidate can reach LOWER energy than the
-        # true tree by typing a small relative translation as a REVOLUTE
-        # joint about a far-away axis (rotation about an axis at infinity =
-        # translation; measured: a drawer hung off a rotating door fit to
-        # energy 0.0000 that way while the true star tree paid 0.0077).
-        # Energy cannot see this overfit — the fitted axis's distance from
-        # the object can: genuine joints live within the object's extent, so
-        # the penalty is EXACTLY ZERO for every physically-sane candidate
-        # and selection stays pure-energy (flagship behavior unchanged).
-        excess = _axis_excess(fitted, state_i, cano_pc, seg_i)
-        score = energy["total_err"] + excess
+        # true tree by typing a relative translation as a REVOLUTE joint
+        # about a far-away axis (any PLANAR relative motion is a pure
+        # rotation about some center — a center far outside the object
+        # fabricates the translation; measured: a drawer hung off a
+        # rotating door fit to energy 0.0000 that way while the true star
+        # tree paid 0.0077). Energy cannot see this overfit; the fitted
+        # axis geometry can — but raw axis-to-object distance alone cannot
+        # (measured both ways: the nao flagship's genuine trees carry
+        # mean excess 0.009-0.063 from ill-conditioned axes on
+        # barely-rotating joints, overlapping the fixture overfit's 0.013-
+        # 0.152, and a raw mean-excess penalty flipped the flagship to a
+        # worse tree). The separating quantity is the FABRICATED
+        # DISPLACEMENT: excess_e * theta_amp_e ~ how far (in object radii)
+        # the joint's own articulation swings the child about the
+        # beyond-object part of its axis offset. Ill-conditioned axes have
+        # tiny theta (product ~0); translation-in-disguise needs theta
+        # large enough to fake the translation (product ~0.3 = the faked
+        # displacement itself). Max over edges, not mean: one fabricated
+        # joint poisons a tree regardless of how many honest edges
+        # dilute it.
+        excess, exc_detail = _axis_excess(fitted, state_i, cano_pc, seg_i,
+                                          return_detail=True)
+        fabricated = max((e_exc * th_amp for _, _, e_exc, th_amp
+                          in exc_detail), default=0.0)
+        score = energy["total_err"] + fabricated
         print(f"tree_search candidate {ci}: total_err "
               f"{energy['total_err']:.4f}"
-              + (f" axis_excess {excess:.3f}" if excess else "")
-              + f" edges {conn.tolist()}", flush=True)
+              + (f" fabricated {fabricated:.3f}" if fabricated else "")
+              + f" local_delta {deltas[ci]:.4f} edges {conn.tolist()}",
+              flush=True)
+        if excess > 0 and os.environ.get("REART_TREE_SEARCH_DEBUG"):
+            # per-edge veto diagnostics: fitted theta amplitude vs the
+            # BASE-pose relative rotation amplitude of the same part pair
+            # (compacted label i <-> uni[i]; base poses are per raw label)
+            base_tr = np.asarray(trans_list, np.float64)
+            for e, child, e_exc, th_amp in exc_detail:
+                if e_exc <= 0:
+                    continue
+                c_raw = int(uni[child])
+                p_raw = int(uni[int(np.asarray(state_i.edges)[e][1])])
+                rel = (np.linalg.inv(base_tr[:, p_raw]) @ base_tr[:, c_raw])
+                tr = np.clip((np.trace(rel[:, :3, :3], axis1=1, axis2=2)
+                              - 1.0) / 2.0, -1.0, 1.0)
+                ang = np.arccos(tr)
+                print(f"  edge {e} child {c_raw}: excess {e_exc:.3f} "
+                      f"theta_amp {th_amp:.3f} base_rel_rot_amp "
+                      f"{float(np.ptp(ang)):.3f}", flush=True)
         if best is None or score < best[0]:
             best = (score, ci, fitted, cand, energy["total_err"])
 

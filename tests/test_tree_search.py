@@ -57,7 +57,10 @@ def test_tree_candidates_deltas(rng):
 def test_axis_excess_vetoes_translation_in_disguise():
     """cli._axis_excess: a fitted REVOLUTE axis far outside the object (the
     rotation-about-an-axis-at-infinity overfit that mimics a translation)
-    scores > 0; sane in-object axes and prismatic edges score exactly 0."""
+    scores > 0; sane in-object axes and prismatic edges score exactly 0.
+    The detail records carry the per-edge (excess, theta amplitude) whose
+    PRODUCT is the tree-search veto (fabricated displacement): a far axis
+    with near-zero articulation is ill-conditioned noise, not an overfit."""
     from types import SimpleNamespace
 
     from reart_tpu.cli import _axis_excess
@@ -66,6 +69,7 @@ def test_axis_excess_vetoes_translation_in_disguise():
     pts = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)  # r_obj ~ 0.8
     seg = np.zeros(200, np.int64)
     seg[100:] = 1
+    theta = np.array([[0.0], [0.4], [0.8]])  # 3 frames, amplitude 0.8
 
     def state(pris):
         return SimpleNamespace(edges=np.array([[1, 0]]),
@@ -73,13 +77,26 @@ def test_axis_excess_vetoes_translation_in_disguise():
 
     # z-axis through the origin: inside the object
     sane = {"axis_list": np.array([[0.0, 0.0, 1.0]]),
-            "moment_list": np.array([[0.0, 0.0, 0.0]])}
+            "moment_list": np.array([[0.0, 0.0, 0.0]]),
+            "theta_list": theta}
     assert _axis_excess(sane, state([False]), pts, seg) == 0.0
 
     # z-axis through (100, 0, 0): moment = p x l = (0, -100, 0)
     far = {"axis_list": np.array([[0.0, 0.0, 1.0]]),
-           "moment_list": np.array([[0.0, -100.0, 0.0]])}
-    assert _axis_excess(far, state([False]), pts, seg) > 50.0
+           "moment_list": np.array([[0.0, -100.0, 0.0]]),
+           "theta_list": theta}
+    mean, detail = _axis_excess(far, state([False]), pts, seg,
+                                return_detail=True)
+    assert mean > 50.0
+    [(e, child, exc, th_amp)] = detail
+    assert (e, child) == (0, 1)
+    assert exc == mean and abs(th_amp - 0.8) < 1e-12
+    # fabricated displacement (the tree-search score term) is decisive for
+    # an articulating far axis, ~zero when the same axis barely articulates
+    assert exc * th_amp > 40.0
+    still = dict(far, theta_list=np.array([[0.0], [1e-3], [2e-3]]))
+    _, d2 = _axis_excess(still, state([False]), pts, seg, return_detail=True)
+    assert d2[0][2] * d2[0][3] < 0.3
     # the same far axis on a PRISMATIC edge is exempt (axis = direction)
     assert _axis_excess(far, state([True]), pts, seg) == 0.0
 
