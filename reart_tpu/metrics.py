@@ -113,8 +113,13 @@ def _auction_duals(src: np.ndarray, tgt: np.ndarray):
         if dev is None:
             return None
         cost = jnp.sqrt(pairwise_sqdist(jnp.asarray(src), jnp.asarray(tgt)))
-        _, price = auction_lap(cost, eps_min=1e-5, num_scales=3,
-                               scale_factor=30.0, max_sweeps=200,
+        # Schedule chosen by one-session A/B on the real flagship energy
+        # problem (scripts/ab_energy_assign.py, 9 x 4096^2): deeper duals
+        # (1e-6, 4 scales) nearly eliminate the host JV's augmentation work
+        # — total 10.9 s vs 17.9 s at the previous 1e-5/3 schedule and
+        # 34.5 s cold, identical exact assignments in every arm.
+        _, price = auction_lap(cost, eps_min=1e-6, num_scales=4,
+                               scale_factor=30.0, max_sweeps=400,
                                return_price=True)
         return -np.asarray(price)
 

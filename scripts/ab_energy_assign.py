@@ -52,10 +52,10 @@ def main():
     sample = RobotSequence(args.seq_path, args.num_points, args.cano_idx)[0]
     payload = ckpt.load_checkpoint(args.ckpt)
     state = ckpt.restore_kinematic_state(payload)
+    params = {k: jnp.asarray(v) for k, v in payload["state_dict"].items()}
     with on_host():
         pred_pc, _, _ = kinematic_forward(
-            payload["params"], state,
-            jnp.asarray(sample["cano_pc"], jnp.float32))
+            params, state, jnp.asarray(sample["cano_pc"], jnp.float32))
         src = np.asarray(to_host(pred_pc), np.float32)
     tgt = np.asarray(sample["pc_list"], np.float32)
     print(f"problem: {src.shape} vs {tgt.shape}")
