@@ -36,20 +36,30 @@ def eval_flow(pred_flow_list, gt_flow_list, acc1_thre=0.05, acc2_thre=0.1):
 
 
 def eval_seg(gt_segm, pd_segm) -> float:
-    """Rand Index via N x N co-membership agreement (utils/eval_utils.py:25-36).
+    """Rand Index over ordered point pairs incl. self-pairs
+    (utils/eval_utils.py:25-36: mean over the N x N co-membership agreement
+    matrix), computed in closed form from the S x S contingency table:
 
-    One (N, S) @ (S, N) matmul per labeling — pure MXU work instead of the
-    reference's dense eye-indexing.
-    """
-    gt = jnp.asarray(gt_segm, jnp.int32)
-    pd = jnp.asarray(pd_segm, jnp.int32)
+        agree = N^2 - (same_gt + same_pd - 2 * same_both)
+
+    where same_both = sum C[a,b]^2, same_gt/same_pd are the squared
+    row/column marginals — identical integer counts to the reference's
+    dense matrix (a pair disagrees iff exactly one labeling co-groups it),
+    at O(N + S^2) instead of O(N^2) memory/compute. The sapien multi-scan
+    RI concatenates all views (N = T*4096 = 32k): the dense form built two
+    4.3 GB co-membership matrices and took 223 s of the reference-scale
+    finalize on one core; this form is exact and instant."""
+    gt = np.asarray(gt_segm).astype(np.int64).ravel()
+    pd = np.asarray(pd_segm).astype(np.int64).ravel()
     n = gt.shape[0]
-    s = int(max(jnp.max(gt), jnp.max(pd))) + 1
-    gt_oh = jnp.eye(s, dtype=jnp.float32)[gt]
-    pd_oh = jnp.eye(s, dtype=jnp.float32)[pd]
-    co_gt = gt_oh @ gt_oh.T
-    co_pd = pd_oh @ pd_oh.T
-    return float(jnp.sum(co_gt == co_pd) / (n * n))
+    assert pd.shape[0] == n
+    s = int(max(gt.max(), pd.max())) + 1
+    c = np.bincount(gt * s + pd, minlength=s * s).reshape(s, s)
+    c = c.astype(np.float64)
+    same_both = float((c ** 2).sum())
+    same_gt = float((c.sum(axis=1) ** 2).sum())
+    same_pd = float((c.sum(axis=0) ** 2).sum())
+    return float((n * n - (same_gt + same_pd - 2.0 * same_both)) / (n * n))
 
 
 def compute_chamfer(points_1, points_2, reduction: str = "sum") -> float:
