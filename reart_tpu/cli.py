@@ -686,7 +686,11 @@ def _axis_excess(fitted, state, cano_pc, seg, return_detail: bool = False):
         d = float(np.linalg.norm(np.cross(l_unit, c - p0)))
         e_exc = max(0.0, d - r_obj) / max(r_obj, 1e-9)
         exc.append(e_exc)
-        detail.append((e, int(child), e_exc, float(np.ptp(theta[:, e]))))
+        # theta spans only the T-1 fitted frames; the canonical frame's
+        # implicit theta=0 must count toward amplitude or 2-frame sequences
+        # (ptp of one value = 0) and one-sided motions disable the veto.
+        detail.append((e, int(child), e_exc,
+                       float(np.ptp(np.append(theta[:, e], 0.0)))))
     mean = float(np.mean(exc)) if exc else 0.0
     return (mean, detail) if return_detail else mean
 

@@ -53,6 +53,9 @@ def eval_seg(gt_segm, pd_segm) -> float:
     pd = np.asarray(pd_segm).astype(np.int64).ravel()
     n = gt.shape[0]
     assert pd.shape[0] == n
+    assert gt.min() >= 0 and pd.min() >= 0, (
+        "eval_seg requires non-negative labels (bincount of gt*s+pd); "
+        f"got min gt={gt.min()}, pd={pd.min()}")
     s = int(max(gt.max(), pd.max())) + 1
     c = np.bincount(gt * s + pd, minlength=s * s).reshape(s, s)
     c = c.astype(np.float64)
@@ -75,11 +78,36 @@ def compute_chamfer(points_1, points_2, reduction: str = "sum") -> float:
 
 
 def compute_chamfer_list(points_set1, points_set2, reduction: str = "sum"):
-    """Per-frame Chamfer, reduced (utils/eval_utils.py:58-66)."""
-    cd = np.asarray([
-        compute_chamfer(p1, p2, reduction=reduction)
-        for p1, p2 in zip(points_set1, points_set2)
-    ])
+    """Per-frame Chamfer, reduced (utils/eval_utils.py:58-66).
+
+    Homogeneous frame stacks run as ONE batched 1-NN dispatch on the
+    accelerator (hostops.on_device — the finalize calls this inside an
+    on_host region, where the per-frame python loop cost 4.4 s of the
+    profiled reference-scale sapien finalize on one core; the fused
+    neighbor kernel does the same work in milliseconds). Ragged inputs
+    keep the per-frame loop."""
+    try:
+        p1 = np.asarray(points_set1, np.float32)
+        p2 = np.asarray(points_set2, np.float32)
+        homogeneous = p1.ndim == 3 and p2.ndim == 3
+    except ValueError:
+        homogeneous = False
+    if homogeneous:
+        from reart_tpu.hostops import on_device
+
+        with on_device():
+            d12, _ = nearest_neighbor(jnp.asarray(p1), jnp.asarray(p2))
+            d21, _ = nearest_neighbor(jnp.asarray(p2), jnp.asarray(p1))
+            if reduction == "mean":
+                per_frame = jnp.mean(d12, -1) + jnp.mean(d21, -1)
+            else:
+                per_frame = jnp.sum(d12, -1) + jnp.sum(d21, -1)
+            cd = np.asarray(per_frame)
+    else:
+        cd = np.asarray([
+            compute_chamfer(p1_, p2_, reduction=reduction)
+            for p1_, p2_ in zip(points_set1, points_set2)
+        ])
     if reduction == "mean":
         return float(cd.mean())
     if reduction == "sum":

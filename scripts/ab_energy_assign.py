@@ -92,11 +92,11 @@ def main():
                     / src.shape[1])
         return t1 - t0, t2 - t1, err
 
-    # warm both compile paths once
+    # warm EVERY schedule once (each distinct presolve config is its own
+    # jit program; skipping a warm-up puts its ~30 s remote compile inside
+    # the first measured rep)
     for name, sched in schedules.items():
         run(sched)
-        break
-    run(schedules["ship (1e-5/3/30)"])
 
     acc = {k: [] for k in schedules}
     for rep in range(args.reps):

@@ -168,13 +168,15 @@ def test_reference_sapien_evaluator_reproduces_our_metrics(tmp_path):
 @pytest.mark.slow
 @requires_reference
 def test_reference_real_evaluator_runs_our_export(tmp_path):
-    """Round-4 (VERDICT r3 #6): run_real.py over our exported real-domain
-    kinematic fit. Under --evaluate the reference writes NO numeric metrics
-    (run_real.py:296-316 is `not args.evaluate`-gated), so the numeric row
-    comes from reverse_parity's one-iteration lr=0 run; its clouds are
-    RE-SAMPLED from the same meshes (refstub trimesh sampler), so ass/cd sit
-    at the independent-sampling noise floor — agreement is order-of-
-    magnitude there, while the artifact path must run end-to-end."""
+    """Round-4 (VERDICT r3 #6) + round-5 (VERDICT r4 #5): run_real.py over
+    our exported real-domain kinematic fit. Under --evaluate the reference
+    writes NO numeric metrics (run_real.py:296-316 is
+    `not args.evaluate`-gated), so the numeric row comes from
+    reverse_parity's one-iteration lr=0 run. Round 5 bakes OUR loader's
+    sampled clouds into the trimesh refstub (REART_REFSTUB_CLOUDS), so the
+    reference consumes geometry IDENTICAL to our fit's and the ass/cd/energy
+    comparison is numeric (sapien-style), not a sampling-noise-floor
+    order-of-magnitude check."""
     import numpy as np
 
     mesh_dir = tmp_path / "scans"
@@ -218,8 +220,9 @@ def test_reference_real_evaluator_runs_our_export(tmp_path):
     for artifact in ("recon.gif", "seg.html", "structure.html"):
         assert os.path.exists(os.path.join(rev_root, "scans", artifact))
     # both energies are raw (no x100 — run_real.py:297-300; our round-4
-    # ass_scale fix) and sit at the cross-sampling noise floor
+    # ass_scale fix); with the baked clouds both sides consume identical
+    # geometry and identical fitted params, so agreement is numeric
     for key in ("ass_err", "cd_err", "total_err"):
         assert key in theirs and key in ours, (theirs, ours)
-        assert theirs[key] <= max(10 * max(ours[key], 1e-3), 0.05), (
-            key, theirs, ours)
+        assert theirs[key] == pytest.approx(ours[key], rel=2e-2,
+                                            abs=2e-4), (key, theirs, ours)

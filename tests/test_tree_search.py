@@ -99,6 +99,18 @@ def test_axis_excess_vetoes_translation_in_disguise():
     assert d2[0][2] * d2[0][3] < 0.3
     # the same far axis on a PRISMATIC edge is exempt (axis = direction)
     assert _axis_excess(far, state([True]), pts, seg) == 0.0
+    # theta amplitude must count the canonical frame's implicit theta=0:
+    # a 2-frame sequence has ONE fitted theta (ptp alone would be 0 and
+    # disable the veto), and one-sided motion spans down to 0, not to its
+    # own minimum (ADVICE r4).
+    two_frame = dict(far, theta_list=np.array([[0.7]]))
+    _, d3 = _axis_excess(two_frame, state([False]), pts, seg,
+                         return_detail=True)
+    assert abs(d3[0][3] - 0.7) < 1e-12
+    one_sided = dict(far, theta_list=np.array([[0.4], [0.8]]))
+    _, d4 = _axis_excess(one_sided, state([False]), pts, seg,
+                         return_detail=True)
+    assert abs(d4[0][3] - 0.8) < 1e-12
 
 
 def test_tree_candidates_degenerate():
