@@ -207,6 +207,16 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                    help="auto mode ambiguity gate: sweep only candidates "
                         "whose swap delta <= margin * median finite "
                         "inter-part edge cost")
+    p.add_argument("--tree_select", default="energy",
+                   choices=["energy", "holdout"],
+                   help="tree-search ranking criterion: 'energy' = fit "
+                        "energy + fabricated-displacement veto (the "
+                        "reference's selection family); 'holdout' = "
+                        "held-out-frame generalization — fit each candidate "
+                        "on a frame subset with axes free, then freeze the "
+                        "axes and score reconstruction on the held-out "
+                        "frames (overfit topologies transfer worse; no "
+                        "hand-built axis veto involved)")
     p.add_argument("--frame_shard", default="auto", choices=["auto", "off"],
                    help="shard THIS sequence's frames over all visible "
                         "devices during the fit (SURVEY §2.7 shard_map-over-T;"
@@ -818,10 +828,19 @@ def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
                                           return_detail=True)
         fabricated = max((e_exc * th_amp for _, _, e_exc, th_amp
                           in exc_detail), default=0.0)
-        score = energy["total_err"] + fabricated
+        holdout = None
+        if getattr(args, "tree_select", "energy") == "holdout":
+            from reart_tpu.selection import holdout_score
+
+            holdout = holdout_score(key, params_i, fit_state, short_cfg,
+                                    jnp.asarray(cano_pc), pc_list)
+            score = holdout  # generalization only: no hand-built axis veto
+        else:
+            score = energy["total_err"] + fabricated
         print(f"tree_search candidate {ci}: total_err "
               f"{energy['total_err']:.4f}"
               + (f" fabricated {fabricated:.3f}" if fabricated else "")
+              + (f" holdout {holdout:.5f}" if holdout is not None else "")
               + f" local_delta {deltas[ci]:.4f} edges {conn.tolist()}",
               flush=True)
         if excess > 0 and os.environ.get("REART_TREE_SEARCH_DEBUG"):

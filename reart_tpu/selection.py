@@ -10,10 +10,112 @@ ass+screw(+group) formula the drivers print (run_robot.py:306-321).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+# per-frame kinematic parameter rows (everything except the screw axes);
+# sliced by holdout_split / holdout_score
+_PER_FRAME_KEYS = ("theta_list", "distance_list", "root_6d", "root_t")
+
+
+def holdout_split(t_fitted: int, every: int = 3):
+    """Deterministic train/held split of the fitted frame indices: every
+    `every`-th frame (starting at 1) is held out — ~1/3 of frames,
+    interleaved so both subsets span the articulation range."""
+    held = np.arange(1, t_fitted, every)
+    train = np.setdiff1d(np.arange(t_fitted), held)
+    if held.size == 0 or train.size == 0:  # degenerate short sequences
+        held = np.asarray([t_fitted - 1])
+        train = np.arange(t_fitted - 1) if t_fitted > 1 else np.asarray([0])
+    return train, held
+
+
+def _holdout_chamfer(opt, params, state, cano_pc, held_pc):
+    from reart_tpu.models.kinematic import kinematic_forward
+    from reart_tpu.ops.distance import chamfer
+
+    p2 = {**params, **opt}
+    pred, _, _ = kinematic_forward(p2, state, cano_pc)
+    return jnp.mean(chamfer(pred, held_pc, bidirectional=True))
+
+
+@_functools.partial(jax.jit, static_argnames=("n_iter",))
+def _holdout_run(params, state, cano_pc, held_pc, opt0, n_iter, lr=1e-1):
+    import optax
+
+    tx = optax.amsgrad(lr)
+    opt_state = tx.init(opt0)
+
+    def step(carry, _):
+        opt, opt_state = carry
+        loss, grads = jax.value_and_grad(_holdout_chamfer)(
+            opt, params, state, cano_pc, held_pc)
+        updates, opt_state = tx.update(grads, opt_state, opt)
+        return (optax.apply_updates(opt, updates), opt_state), loss
+
+    (opt, _), _ = jax.lax.scan(step, (opt0, opt_state), None, length=n_iter)
+    return _holdout_chamfer(opt, params, state, cano_pc, held_pc)
+
+
+def _holdout_solve(params, state, cano_pc, held_pc, n_iter: int = 150):
+    """With axis/moment FROZEN, fit only per-held-frame joint coordinates
+    (theta, prismatic distance, root pose) against the observed held-out
+    clouds; return the final mean bidirectional chamfer there.
+
+    This is the reference's own IK mechanism (kinematic_utils.py:229-234 —
+    theta-only Adam with fixed screws) pointed at dense observed clouds
+    instead of sparse GT correspondences, so it needs no supervision.
+    Module-level jit: every tree candidate shares one compiled program
+    (identical (H, E) shapes; the tree metadata is neutralized out of the
+    cache key by the caller, like the short fits)."""
+    from reart_tpu.models.kinematic import PIN
+    from reart_tpu.models.base_model import IDENTITY_6D
+
+    h = held_pc.shape[0]
+    e = params["theta_list"].shape[1]
+    opt0 = {"theta_list": jnp.full((h, e), PIN, jnp.float32)}
+    if "distance_list" in params:
+        opt0["distance_list"] = jnp.full((h, e), PIN, jnp.float32)
+    if "root_6d" in params:
+        opt0["root_6d"] = jnp.tile(jnp.asarray(IDENTITY_6D)[None], (h, 1))
+        opt0["root_t"] = jnp.zeros((h, 3), jnp.float32)
+    return float(_holdout_run(params, state, cano_pc, held_pc, opt0, n_iter))
+
+
+def holdout_score(key, params, state, cfg, cano_pc, pc_list,
+                  solve_iter: int = 150) -> float:
+    """Held-out-frame generalization score of one kinematic-tree candidate
+    (lower = generalizes better).
+
+    Fit the candidate's screws on a TRAIN subset of frames, freeze the
+    axes, IK-solve the per-frame coordinates on the HELD-OUT frames, and
+    score reconstruction chamfer there. Motivation (PARITY round 4): the
+    in-sample ass+screw energy cannot rank trees — every sane spanning
+    tree reconstructs the TRAINING clouds equally well (spread ~6%, inside
+    short-fit noise) while TED spans 3-7 — and a wrong parent's screw axes
+    are precisely what should NOT transfer to motion states the fit never
+    saw (the same mechanism as retargeting error, which DOES separate the
+    trees). The reference has no counterpart: it never searches topology
+    (run_robot.py:104-124)."""
+    from reart_tpu.train import fit_kinematic
+
+    t = pc_list.shape[0]
+    train, held = holdout_split(t)
+    p_train = {
+        k: (v[jnp.asarray(train)] if k in _PER_FRAME_KEYS else v)
+        for k, v in params.items()
+    }
+    fitted, _ = fit_kinematic(key, p_train, state, cfg,
+                              jnp.asarray(pc_list)[jnp.asarray(train)],
+                              flow_ctx=None)
+    return _holdout_solve(fitted, state, cano_pc,
+                          jnp.asarray(pc_list)[jnp.asarray(held)],
+                          n_iter=solve_iter)
 
 
 def fit_energy(params, cfg, cano_pc, pc_list, cano_idx, seg_part, trans_list,

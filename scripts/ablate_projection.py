@@ -51,6 +51,10 @@ def main():
                          "flagship's auto_cano picked the middle too)")
     ap.add_argument("--n_iter", default=1500, type=int)
     ap.add_argument("--kin_iter", default=100, type=int)
+    ap.add_argument("--num_parts", default=8, type=int)
+    ap.add_argument("--downsample", default=4, type=int,
+                    help="1 reproduces the reference-scale drive's "
+                         "giant-LAP path (scripts/sapien_fullscale.sh)")
     args = ap.parse_args()
 
     from reart_tpu.cli import main as cli_main
@@ -69,7 +73,9 @@ def main():
             "--cano_idx", str(args.cano_idx),
             "--save_root", base_dir, "--n_iter", str(args.n_iter),
             "--assign_iter", str(args.n_iter // 2), "--use_assign_loss",
-            "--use_flow_loss", "--flow_file", flow, "--num_parts", "8",
+            "--use_flow_loss", "--flow_file", flow,
+            "--num_parts", str(args.num_parts),
+            "--downsample", str(args.downsample),
             "--start_tau", "1", "--end_tau", "0.5", "--snapshot_gap", "2000",
         ])
     base_epe, base_ri = epe_of(base_dir)
@@ -102,9 +108,17 @@ def main():
 
     rows = [("base (relaxation)", base_epe, base_ri)]
 
-    # A: the flagship path (fitted graph built inside)
+    # A0: plain greedy MST, tree search explicitly OFF — separates what the
+    # MST alone does from what the auto sweep then does to it
+    a0 = project("A0_nosearch", dict(fitted), os.path.join(args.out, "A0"),
+                 extra=["--tree_search", "0"])
+    rows.append(("A0 fitted graph, tree_search OFF", *a0))
+
+    # A: the flagship path (fitted graph + the product's default auto
+    # tree search; REART_TREE_SEARCH_DEBUG=1 in the env prints per-candidate
+    # energies/vetoes for attribution)
     a = project("A_fitted", dict(fitted), os.path.join(args.out, "A"))
-    rows.append(("A fitted seg+poses, fitted graph", *a))
+    rows.append(("A fitted seg+poses, fitted graph (auto)", *a))
 
     # B: fitted seg+poses, GT star topology on the fitted part ids
     res_b = dict(fitted)
