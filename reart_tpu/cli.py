@@ -207,6 +207,14 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
                    help="auto mode ambiguity gate: sweep only candidates "
                         "whose swap delta <= margin * median finite "
                         "inter-part edge cost")
+    p.add_argument("--seg_refine", default=2, type=int,
+                   help="motion-consistency segmentation E-step iterations "
+                        "at the end of the base stage (0 = off): relabel "
+                        "each canonical point to the part whose fitted "
+                        "trajectory best reconstructs it against the "
+                        "observed clouds (margin-guarded; measured at "
+                        "reference scale: projection full-flow EPE "
+                        "3.93 -> 0.44). The reference has no counterpart.")
     p.add_argument("--tree_select", default="energy",
                    choices=["energy", "holdout"],
                    help="tree-search ranking criterion: 'energy' = fit "
@@ -594,7 +602,8 @@ def kinematic_from_tree(args, domain: str, cano_pc, seg_part, trans_list,
             (g, root, axis, moment, theta, distance, edge_index,
              joint_type_list) = build_graph(
                 new_conn, align_trans, revolute_only=False,
-                root_part=root_part, return_joint_type=True)
+                root_part=root_part, return_joint_type=True,
+                cano_pc=np.asarray(cano_pc), seg_part=np.asarray(new_seg))
             state = make_kinematic_state(new_seg, cano_pc, list(g.edges()),
                                          root, joint_types=joint_type_list,
                                          has_root_trans=True,
@@ -1074,6 +1083,23 @@ def finalize(args, domain: str, dataset, sample, seg_part, trans_list,
             return trans
         root_part = int(np.bincount(seg_part).argmax())
         return compute_align_trans(jnp.asarray(trans), jnp.asarray(trans)[:, root_part])
+
+    # Motion-consistency segmentation E-step (base stage only; round 5).
+    # The reference-scale projection ablation attributes the sapien full-flow
+    # EPE residual to canonical seg error, not topology: with the fitted seg
+    # the projection scores 3.93 EPE, with GT seg 0.67 — and this E-step
+    # (relabel each point to the part whose fitted trajectory best
+    # reconstructs it, margin-guarded) measured 3.93 -> 0.44 on the same
+    # scene (cano RI 0.880 -> 0.975). Runs on the accelerator (batched
+    # fused-NN kernels) BEFORE the host graph stage.
+    if not is_kinematic and getattr(args, "seg_refine", 2) > 0:
+        from reart_tpu.models.base_model import refine_seg_motion
+
+        with sub("seg_refine"):
+            seg_part = np.asarray(refine_seg_motion(
+                cano_pc, jnp.asarray(sample["pc_list"], jnp.float32),
+                jnp.asarray(trans_list), seg_part,
+                n_it=int(args.seg_refine)))
 
     # graph stage on the host backend: tiny P-dependent programs would
     # otherwise recompile over the TPU tunnel for every new part count

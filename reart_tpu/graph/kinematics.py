@@ -20,10 +20,8 @@ from reart_tpu.geometry import (
     inverse_transformation,
     transform_to_dq,
     dq_to_screw,
-    screw_param_to_exponential_coordinates,
-    transform_from_exponential_coordinates,
 )
-from reart_tpu.graph.costs import compute_root_cost, frobenius_cost
+from reart_tpu.graph.costs import compute_root_cost
 
 
 def extract_kinematic(seg_part, trans_list, joint_connection):
@@ -67,6 +65,28 @@ def edge_index2edges(edge_index: dict):
     return out
 
 
+def _axis_excess_per_edge(axis, moment, cano_pc, seg, child):
+    """Normalized distance-beyond-object-radius of each mean revolute axis
+    from its child part's centroid (the cli._axis_excess geometry,
+    vectorized over edges; 0 whenever the axis passes within the object's
+    bounding radius of the child centroid)."""
+    center = cano_pc.mean(0)
+    r_obj = float(np.linalg.norm(cano_pc - center, axis=-1).max())
+    out = np.zeros(len(child))
+    for e in range(len(child)):
+        l_vec = axis[e]
+        nl = float(np.linalg.norm(l_vec))
+        if nl < 1e-8:
+            continue
+        lu = l_vec / nl
+        p0 = np.cross(lu, moment[e] / nl)  # closest axis point to origin
+        mask = seg == child[e]
+        c = cano_pc[mask].mean(0) if mask.any() else center
+        d = float(np.linalg.norm(np.cross(lu, c - p0)))
+        out[e] = max(0.0, d - r_obj) / max(r_obj, 1e-9)
+    return out
+
+
 def build_graph(
     edges_list,
     trans_list,
@@ -74,6 +94,9 @@ def build_graph(
     root_part=None,
     revolute_only: bool = True,
     return_joint_type: bool = False,
+    cano_pc=None,
+    seg_part=None,
+    rot_amp_thr: float = 0.15,
 ):
     """Extract per-edge screws + joint types from part trajectories.
 
@@ -82,6 +105,28 @@ def build_graph(
     Returns (reference kinematic_utils.py:54-139 contract):
       revolute_only: (G, root, axis (E,3), moment (E,3), theta (T,E), edge_index)
       else:          (..., distance (T,E), edge_index[, joint_type_list])
+
+    Joint typing improvements over the reference (measured at reference
+    scale, round 5 — on noisy fitted poses the reference's
+    reconstruction-cost comparison failed BOTH ways: the fullscale drawer,
+    a 0.35-body-scale pure translation, typed REVOLUTE because ~3 deg of
+    consistent pose-noise rotation lets a far-axis screw fit
+    translation+noise exactly while the screw-derived prismatic hypothesis
+    inherits the noise rotation's axis and explains none of the slide; and
+    a genuinely rotating flap (0.8 rad) typed PRISMATIC when root-alignment
+    noise made its mean-axis screw misfit):
+
+      * typing is decided by the ROTATION-AMPLITUDE EVIDENCE (rot_amp_thr,
+        radians): prismatic iff the relative motion's max rotation angle is
+        below threshold — see the inline note for the measured separations;
+      * the prismatic hypothesis is TRANSLATION-NATIVE — its axis is the
+        principal direction of the relative translations themselves (for
+        clean pure translations this equals the reference's no-rotation
+        screw axis exactly), its per-frame distance the projection onto
+        that axis.
+
+    cano_pc/seg_part are accepted for call-site compatibility and future
+    geometric diagnostics; typing itself no longer needs them.
     """
     edges_list = np.asarray(edges_list)
     trans_list = jnp.asarray(trans_list)
@@ -130,34 +175,45 @@ def build_graph(
             print(f"joint types at each edge: {joint_type_list}")
         return g, root_part, mean_axis, mean_moment, theta, edge_index
 
-    # joint typing by reconstruction cost (kinematic_utils.py:89-124)
-    ma = jnp.broadcast_to(mean_axis[None], (t, e, 3))
-    mm = jnp.broadcast_to(mean_moment[None], (t, e, 3))
+    # translation-native prismatic hypothesis: axis = principal direction of
+    # the relative translations (eigh of the per-edge second-moment matrix),
+    # sign-canonicalized against (1,1,1) like dq_to_screw; distance = the
+    # projection. For clean pure translations this is exactly the
+    # reference's no-rotation screw (axis = unit translation, d = |t|).
+    tvecs = np.asarray(rel_trans[..., :3, 3], np.float64)  # (T, E, 3)
+    cov = np.einsum("tei,tej->eij", tvecs, tvecs)  # (E, 3, 3)
+    _, vecs = np.linalg.eigh(cov)
+    axis_p = vecs[:, :, -1]  # (E, 3) dominant direction
+    sign = np.where(axis_p.sum(axis=-1) < 0, -1.0, 1.0)
+    axis_p = axis_p * sign[:, None]
+    axis_p_j = jnp.asarray(axis_p, rel_trans.dtype)
+    distance_p = jnp.einsum("tei,ei->te", rel_trans[..., :3, 3], axis_p_j)
 
-    log_r = screw_param_to_exponential_coordinates(
-        ma, mm, theta, jnp.full_like(distance, 1e-6)
-    )
-    t_recon_r = transform_from_exponential_coordinates(log_r)
-    cost_r = jnp.sum(frobenius_cost(t_recon_r, rel_trans), axis=0)  # (E,)
-
-    rel_no_rot = rel_trans.at[..., :3, :3].set(jnp.eye(3, dtype=rel_trans.dtype))
-    log_p = screw_param_to_exponential_coordinates(
-        ma, mm, jnp.full_like(theta, 1e-6), distance
-    )
-    t_recon_p = transform_from_exponential_coordinates(log_p)
-    cost_1 = jnp.sum(frobenius_cost(t_recon_p, rel_no_rot), axis=0)
-    # per-edge scalar rotation MSE (reference computes it per edge inside the
-    # loop, i.e. mean over that edge's T frames and 3x3 entries)
-    cost_2 = jnp.mean(
-        (t_recon_p[..., :3, :3] - rel_trans[..., :3, :3]) ** 2, axis=(0, 2, 3)
-    )
-    cost_p = cost_1 + cost_2
-
-    pris = np.asarray(cost_p <= cost_r)  # (E,)
+    # Typing by ROTATION-AMPLITUDE EVIDENCE: an edge is prismatic iff its
+    # relative motion carries no real rotation (max relative rotation angle
+    # below rot_amp_thr). The reference's reconstruction-cost comparison
+    # (kinematic_utils.py:89-124) fails both ways on noisy fitted poses
+    # (measured, round 5, reference-scale scene): a drawer with ~3 deg of
+    # consistent pose-noise rotation types REVOLUTE (a far-axis screw fits
+    # translation+noise exactly while the screw-derived prismatic hypothesis
+    # inherits the noise axis), and a genuinely rotating flap (0.8 rad) can
+    # type PRISMATIC when alignment noise makes its mean-axis screw misfit
+    # (cost_r 0.14 > any prismatic cost). The rotation-angle data itself is
+    # the robust discriminator: measured separations drawer/tray 0.03-0.06
+    # rad (pure noise) vs lid/door/flap 0.56-0.80 rad. For clean inputs the
+    # decision is identical to the reference's (zero rotation -> prismatic,
+    # real rotation -> revolute; near-rigid ties -> prismatic either way).
+    tr_rot = np.trace(np.asarray(rel_trans[..., :3, :3], np.float64),
+                      axis1=-2, axis2=-1)
+    ang = np.arccos(np.clip((tr_rot - 1.0) / 2.0, -1.0, 1.0))  # (T, E)
+    pris = ang.max(axis=0) < rot_amp_thr  # (E,)
     joint_type_list = ["prismatic" if x else "revolute" for x in pris]
     pris_j = jnp.asarray(pris)[None, :]
+    # prismatic edges carry the translation-native axis; revolute edges the
+    # mean screw axis/moment
+    mean_axis = jnp.where(jnp.asarray(pris)[:, None], axis_p_j, mean_axis)
     theta_out = jnp.where(pris_j, 1e-6, theta)
-    distance_out = jnp.where(pris_j, distance, 1e-6)
+    distance_out = jnp.where(pris_j, distance_p, 1e-6)
     if verbose:
         print(f"joint types at each edge: {joint_type_list}")
     if return_joint_type:

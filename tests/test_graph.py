@@ -110,6 +110,38 @@ class TestBuildGraph:
         distance = np.asarray(out[5])
         np.testing.assert_allclose(np.abs(distance[:, 0]), slides, atol=1e-3)
 
+    def test_prismatic_detection_under_rotation_noise(self, rng):
+        """Round 5: a translation carrying a small CONSISTENT fitted-pose
+        rotation (the reference-scale drawer: ~3 deg across views) must still
+        type prismatic. The reference's screw-derived prismatic hypothesis
+        inherits the noise rotation's axis (slide ~0 along it) and loses to
+        a far-axis revolute that reconstructs translation+noise exactly; the
+        translation-native hypothesis + the axis-sanity override both catch
+        it (utils/kinematic_utils.py:89-124 is the protocol being exceeded)."""
+
+        def rotz(a):
+            c, s = np.cos(a), np.sin(a)
+            return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+        t, p = 8, 2
+        trans = np.tile(np.eye(4, dtype=np.float32), (t, p, 1, 1))
+        for v in range(t):
+            trans[v, 1, :3, :3] = rotz(0.008 * v)  # consistent noise rot
+            trans[v, 1, 1, 3] = 0.05 * v           # dominant +y slide
+        edges = np.array([[0, 1]])
+        cano = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)
+        seg = (cano[:, 1] > 0).astype(np.int64)
+        out = GR.build_graph(edges, jnp.asarray(trans), root_part=0,
+                             revolute_only=False, return_joint_type=True,
+                             cano_pc=cano, seg_part=seg)
+        assert out[7] == ["prismatic"], out[7]
+        # prismatic axis is the translation direction, not the noise axis
+        axis = np.asarray(out[2])[0]
+        assert abs(axis[1]) > 0.99, axis
+        distance = np.asarray(out[5])[:, 0]
+        np.testing.assert_allclose(np.abs(distance), 0.05 * np.arange(t),
+                                   atol=5e-3)
+
 
 @requires_reference
 class TestGraphTorchParity:
