@@ -191,6 +191,96 @@ def nn_topk_pallas(query: jnp.ndarray, ref: jnp.ndarray, k: int):
     return jnp.clip(d_out, min=0.0), i_out
 
 
+def _bq_kernel(k: int, r2: float, mp: int, q_ref, r_ref, v_ref, i_ref):
+    """Ball-query as a k-smallest over the MONOTONE KEY
+    key = (in_radius ? col : col + mp) — in-radius points in index order
+    come first, exactly the CUDA kernel's first-K-in-order contract
+    (src/ball_query_gpu.cu:9-67). Keys are distinct small ints (exact in
+    f32), so no tie handling is needed; padded FAR ref points can never be
+    in radius. ONE M tile per query block (gated by
+    ball_query_kernel_available), so the k extraction is a fori_loop of
+    min-passes writing each slot straight to the output ref via pl.ds —
+    an unrolled _ksmallest at k=128 blew the scoped-VMEM stack (48 MB of
+    live select chains).
+
+    MEASURED AND REJECTED as the ball_query dispatch (round 5, one-session
+    op A/B at (8, 512, 1024)): index-exact at every tested shape, but the
+    K sequential min passes cost ~4 lane-ops over the whole (TN, N) tile
+    per slot — total work K*S*N overtakes lax.top_k's N log N sort by
+    K~64 (K=128: 3.9 vs 2.0 ms; K=32: a wash). Kept for reference and for
+    potential small-K callers; ops/sampling.ball_query stays on the sort."""
+    q = q_ref[0]          # (TN, 3)
+    r = r_ref[0]          # (3, M) channel-major
+    tn, tm = q.shape[0], r.shape[1]
+
+    d = _sqdist_tile(q, r)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+    key0 = jnp.where(d < r2, cols.astype(jnp.float32),
+                     cols.astype(jnp.float32) + float(mp))
+
+    def body(kk, key):
+        m = jnp.min(key, axis=1)                       # (TN,)
+        # keys are distinct -> the min's column is unique; recover it as a
+        # masked min over cols (hardware argmin tie rule is unusable)
+        first = jnp.min(jnp.where(key == m[:, None], cols,
+                                  jnp.iinfo(jnp.int32).max), axis=1)
+        v_ref[0, pl.ds(kk, 1)] = m[None, :]
+        i_ref[0, pl.ds(kk, 1)] = first[None, :]
+        return jnp.where(cols == first[:, None], jnp.inf, key)
+
+    jax.lax.fori_loop(0, k, body, key0)
+
+
+def ball_query_kernel_available(s: int, n: int) -> bool:
+    """Single-M-tile contract: the whole ref cloud must fit one kernel tile
+    (no cross-tile top-k merge in the fori_loop formulation)."""
+    return n <= MAX_TILE_M
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "k"))
+def ball_query_pallas(radius: float, k: int, xyz: jnp.ndarray,
+                      new_xyz: jnp.ndarray):
+    """Fused ball query. xyz (B, N, 3) points, new_xyz (B, S, 3) centroids
+    -> idx (B, S, k) with the reference's first-in-radius padding."""
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    b = xyz.shape[0]
+    tile_m = _pick_tile_m(xyz.shape[1])
+    qp, s = _pad_points(new_xyz, TILE_N)
+    rp, _ = _pad_points(xyz, tile_m)
+    sp, mp = qp.shape[1], rp.shape[1]
+    assert mp == tile_m, "ball_query_pallas requires a single M tile"
+
+    grid = (b, sp // TILE_N)
+    v_t, i_t = pl.pallas_call(
+        functools.partial(_bq_kernel, k, float(radius) * float(radius), mp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE_N, 3), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_m), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, TILE_N), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, TILE_N), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, sp), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, sp), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+    )(qp, jnp.transpose(rp, (0, 2, 1)))
+    key_out = jnp.moveaxis(v_t, 1, 2)[:, :s]  # (B, S, k)
+    idx = jnp.moveaxis(i_t, 1, 2)[:, :s]
+    valid = key_out < mp  # in-radius
+    first = idx[..., :1]  # first in-radius point (or point 0 if none)
+    return jnp.where(valid, idx, first)
+
+
 def _bidir_kernel(q_ref, r_ref, fd_ref, fi_ref, bd_ref, bi_ref,
                   sd_ref, si_ref):
     """Fused bidirectional 1-NN: each (TN, TM) distance tile is computed ONCE

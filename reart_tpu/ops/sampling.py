@@ -22,10 +22,19 @@ from reart_tpu.ops.distance import pairwise_sqdist
 
 def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched gather: points (B, N, C), idx (B, ...) -> (B, ..., C).
-    (reference networks/pointnet2_utils.py:54-71)"""
-    b = points.shape[0]
+    (reference networks/pointnet2_utils.py:54-71)
+
+    Formulated as a FLAT 1-D row take (batch offsets folded into the
+    indices) rather than take_along_axis: measured 1.5-1.9x faster on TPU
+    at the corr backbone's grouping shapes (scripts/ab_gather_fwd.py,
+    (8, 65k, 3): 2.6 vs 4.9 ms; (8, 16k, 320): 1.9 vs 2.9 ms) — XLA lowers
+    the flat take to a plain row gather where the batched take_along_axis
+    pays a composite-index path. Same values, same autodiff class."""
+    b, n = points.shape[0], points.shape[1]
     flat = idx.reshape(b, -1)
-    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    offs = (jnp.arange(b, dtype=flat.dtype) * n)[:, None]
+    out = jnp.take(points.reshape(b * n, points.shape[-1]),
+                   (flat + offs).reshape(-1), axis=0)
     return out.reshape(idx.shape + (points.shape[-1],))
 
 
@@ -179,6 +188,15 @@ def ball_query(
     Formulation: rank points by the key (out_of_radius * N + index) and take
     the `nsample` smallest — in-radius points in index order come first. A
     top-k over a monotone int key replaces the CUDA kernel's sequential scan.
+
+    MEASURED AND REJECTED (round 5): a Pallas formulation
+    (ops/pallas_nn.ball_query_pallas, kept for reference) replacing the
+    top_k sort with K sequential masked-min passes in-kernel — index-exact
+    at every shape, but SLOWER at the corr backbone's K=128 (3.9 vs 2.0 ms
+    at (8, 512, 1024); a wash at K=32): the per-slot min+mask pass costs
+    ~4 lane-ops over the whole (TN, N) tile, so total work scales with
+    K*S*N and overtakes the sort's N log N by K~64. The sort is the right
+    tool here.
     """
     b, n, _ = xyz.shape
     sq = pairwise_sqdist(new_xyz, xyz)  # (B, S, N)

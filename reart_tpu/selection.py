@@ -87,6 +87,48 @@ def _holdout_solve(params, state, cano_pc, held_pc, n_iter: int = 150):
     return float(_holdout_run(params, state, cano_pc, held_pc, opt0, n_iter))
 
 
+def _interp_rows(train_vals, train_idx, held_idx):
+    """Linear interpolation of per-frame parameter rows at held frame
+    indices from the surrounding train frames (clamped at the ends)."""
+    pos = np.interp(held_idx.astype(np.float64), train_idx.astype(np.float64),
+                    np.arange(len(train_idx), dtype=np.float64))
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, len(train_idx) - 1)
+    hi = np.clip(lo + 1, 0, len(train_idx) - 1)
+    w = jnp.asarray((pos - lo)[:, None], train_vals.dtype)
+    lo_v = train_vals[jnp.asarray(lo)]
+    hi_v = train_vals[jnp.asarray(hi)]
+    return (1.0 - w) * lo_v.reshape(len(held_idx), -1) \
+        + w * hi_v.reshape(len(held_idx), -1)
+
+
+def holdout_score_interp(params_fitted, state, cano_pc, pc_list, train, held):
+    """Interpolated-coordinate holdout: predict each held frame's joint
+    coordinates by LINEAR INTERPOLATION of the neighboring train frames'
+    fitted coordinates (no solve at all) and score reconstruction chamfer.
+
+    Rationale (measured, round 5): free per-frame IK on held frames cannot
+    separate topologies — with every joint coordinate free, even a wrong
+    parent reconstructs each held cloud individually (nao pool: holdout
+    chamfer 0.00011-0.00012 across trees whose retarget spans 1.1-1.5 cm).
+    Physical articulation is SMOOTH in the right joint space: under the
+    true topology, joint coordinates vary regularly over time and
+    interpolate well; a wrong parent's coordinates absorb the parent's
+    motion and interpolate badly."""
+    from reart_tpu.models.kinematic import kinematic_forward
+    from reart_tpu.ops.distance import chamfer
+
+    held_j = jnp.asarray(held)
+    p2 = dict(params_fitted)
+    h = len(held)
+    for k in _PER_FRAME_KEYS:
+        if k in p2:
+            shape = (h,) + tuple(p2[k].shape[1:])
+            p2[k] = _interp_rows(p2[k], train, held).reshape(shape)
+    pred, _, _ = kinematic_forward(p2, state, cano_pc)
+    d = chamfer(pred, jnp.asarray(pc_list)[held_j], bidirectional=True)
+    return float(jnp.mean(d))
+
+
 def holdout_score(key, params, state, cfg, cano_pc, pc_list,
                   solve_iter: int = 150) -> float:
     """Held-out-frame generalization score of one kinematic-tree candidate
@@ -94,14 +136,22 @@ def holdout_score(key, params, state, cfg, cano_pc, pc_list,
 
     Fit the candidate's screws on a TRAIN subset of frames, freeze the
     axes, IK-solve the per-frame coordinates on the HELD-OUT frames, and
-    score reconstruction chamfer there. Motivation (PARITY round 4): the
-    in-sample ass+screw energy cannot rank trees — every sane spanning
-    tree reconstructs the TRAINING clouds equally well (spread ~6%, inside
-    short-fit noise) while TED spans 3-7 — and a wrong parent's screw axes
-    are precisely what should NOT transfer to motion states the fit never
-    saw (the same mechanism as retargeting error, which DOES separate the
-    trees). The reference has no counterpart: it never searches topology
-    (run_robot.py:104-124)."""
+    score reconstruction chamfer there (plus the interpolated-coordinate
+    variant below). Motivation (PARITY round 4): the in-sample ass+screw
+    energy cannot rank trees — every sane spanning tree reconstructs the
+    TRAINING clouds equally well while TED spans 3-7 — and a wrong
+    parent's screw axes are precisely what should NOT transfer to motion
+    states the fit never saw. The reference has no counterpart: it never
+    searches topology (run_robot.py:104-124).
+
+    MEASURED OUTCOME (round 5, both flagship pools): NEGATIVE as a
+    ranking signal — reconstruction chamfer permits self-sliding, so even
+    a wrong parent reconstructs each held cloud (nao pool: scores
+    0.00011-0.00012 across trees whose retarget spans 1.1-1.5 cm; the
+    fullscale sapien pool: 0.00027-0.00034 across trees whose projected
+    EPE spans 3x). It still REJECTS grossly-wrong trees (non-expressible
+    parents, tests/test_tree_search.py) — useful as a veto, not a ranker.
+    Full table in PARITY.md round 5."""
     from reart_tpu.train import fit_kinematic
 
     t = pc_list.shape[0]
@@ -113,9 +163,17 @@ def holdout_score(key, params, state, cfg, cano_pc, pc_list,
     fitted, _ = fit_kinematic(key, p_train, state, cfg,
                               jnp.asarray(pc_list)[jnp.asarray(train)],
                               flow_ctx=None)
-    return _holdout_solve(fitted, state, cano_pc,
-                          jnp.asarray(pc_list)[jnp.asarray(held)],
-                          n_iter=solve_iter)
+    solved = _holdout_solve(fitted, state, cano_pc,
+                            jnp.asarray(pc_list)[jnp.asarray(held)],
+                            n_iter=solve_iter)
+    interp = holdout_score_interp(fitted, state, cano_pc, pc_list,
+                                  train, held)
+    # the free-solve chamfer cannot separate topologies (measured — every
+    # tree reconstructs individual held clouds); the interpolated-coordinate
+    # score carries the cross-frame smoothness evidence and is the ranking
+    # signal. The solve result is kept as a sanity lower bound in the sum
+    # (a tree that cannot even free-solve its held frames is hopeless).
+    return interp + solved
 
 
 def fit_energy(params, cfg, cano_pc, pc_list, cano_idx, seg_part, trans_list,

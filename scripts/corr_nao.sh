@@ -62,6 +62,7 @@ python run.py robot --model kinematic \
     --base_result_path "$OUT/fit_base/nao/result.pkl" \
     --seq_path "$NAO" --cano_idx 4 --n_iter 200 \
     --tree_search "${TREE_SEARCH:--1}" \
+    --tree_select "${TREE_SELECT:-energy}" \
     --use_flow_loss --flow_provider corr \
     --corr_model_path "$OUT/corr_model.pkl" \
     --match_th "${MATCH_TH:-0.9}" --match_refine_k "${REFINE_K:-0}" \

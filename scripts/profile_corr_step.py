@@ -70,54 +70,66 @@ def main():
 
     timed("synth_pair (vmapped, B=4)", gen_only, keys)
 
-    pk = jax.random.split(keys[0], cfg.batch)
-    src, tgt, gt_pos, scale = jax.vmap(
-        lambda k: synth_pair(k, frames, cfg))(pk)
-    both = jnp.concatenate([src, tgt], 0)
+    # Pre-generate REPS distinct batches and scan OVER them: with constant
+    # inputs XLA hoists the loop-invariant forward/grad out of the scan
+    # body, so the per-iteration region times were a mirage (first capture:
+    # value_and_grad "3.3 ms" vs a 41.8 ms full step — the grad had been
+    # computed once for 20 reps).
+    @jax.jit
+    def gen_batches(keys):
+        def one(key):
+            pk = jax.random.split(key, cfg.batch)
+            return jax.vmap(lambda k: synth_pair(k, frames, cfg))(pk)
+        return jax.vmap(one)(keys)
+
+    src_r, tgt_r, gt_r, scale_r = gen_batches(keys)  # (REPS, B, ...)
+    both_r = jnp.concatenate([src_r, tgt_r], 1)  # (REPS, 2B, N, 3)
 
     for dt_name in ("float32", "bfloat16"):
         dtj = jnp.dtype(dt_name)
 
         @jax.jit
-        def fwd_only(params, both):
-            def body(c, _):
+        def fwd_only(params, both_r):
+            def body(c, both):
                 cp = (params if dtj == jnp.float32 else
                       jax.tree_util.tree_map(lambda x: x.astype(dtj), params))
                 f = apply_pointnet2msg2(cp, both.astype(dtj),
                                         bn_mode="batch")
                 return c + jnp.sum(f.astype(jnp.float32)), 0.0
-            c, _ = jax.lax.scan(body, 0.0, None, length=REPS)
+            c, _ = jax.lax.scan(body, 0.0, both_r)
             return c
 
-        timed(f"backbone forward 2B=8 ({dt_name})", fwd_only, params, both)
+        timed(f"backbone forward 2B=8 ({dt_name})", fwd_only, params, both_r)
 
         @jax.jit
-        def loss_only(params, src, tgt, gt_pos, scale):
-            def body(c, _):
+        def loss_only(params, batches):
+            def body(c, b):
+                src, tgt, gt_pos, scale = b
                 l, _ = corr_info_nce(params, src, tgt, cfg.temperature,
                                      dt_name, gt_pos, cfg.pos_radius,
                                      cfg.neg_radius, scale)
                 return c + l, 0.0
-            c, _ = jax.lax.scan(body, 0.0, None, length=REPS)
+            c, _ = jax.lax.scan(body, 0.0, batches)
             return c
 
         timed(f"corr_info_nce fwd ({dt_name})", loss_only,
-              params, src, tgt, gt_pos, scale)
+              params, (src_r, tgt_r, gt_r, scale_r))
 
         @jax.jit
-        def grad_only(params, src, tgt, gt_pos, scale):
-            def body(c, _):
+        def grad_only(params, batches):
+            def body(c, b):
+                src, tgt, gt_pos, scale = b
                 (l, _), g = jax.value_and_grad(
                     corr_info_nce, has_aux=True)(
                     params, src, tgt, cfg.temperature, dt_name,
                     gt_pos, cfg.pos_radius, cfg.neg_radius, scale)
                 return c + l + jax.tree_util.tree_reduce(
-                    lambda a, b: a + jnp.sum(b), g, 0.0), 0.0
-            c, _ = jax.lax.scan(body, 0.0, None, length=REPS)
+                    lambda a, b2: a + jnp.sum(b2), g, 0.0), 0.0
+            c, _ = jax.lax.scan(body, 0.0, batches)
             return c
 
         timed(f"value_and_grad ({dt_name})", grad_only,
-              params, src, tgt, gt_pos, scale)
+              params, (src_r, tgt_r, gt_r, scale_r))
 
         @jax.jit
         def full_body(params, opt_state, keys):
