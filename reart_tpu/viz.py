@@ -169,34 +169,80 @@ def vis_pc_seq(pc_list, pred_part=None, name: str = "seq", save_path=None):
     return frames
 
 
+def _cylinder_grid(r, h, nt=100, nv=50):
+    """Parametrized cylinder surface grid (viz_utils.py:79-89): (nv, nt, 3)
+    with the axis along +z from 0 to h."""
+    theta = np.linspace(0, 2 * np.pi, nt)
+    v = np.linspace(0, h, nv)
+    theta, v = np.meshgrid(theta, v)
+    return np.stack([r * np.cos(theta), r * np.sin(theta), v], axis=2)
+
+
+def _edge_cylinder(parent_centroid, child_centroid, r=0.01):
+    """The reference's cylinder-between-centroids construction
+    (viz_utils.py:124-137): a z-axis cylinder of the edge's length rotated
+    onto the centroid-to-centroid direction (Rodrigues from cross/dot, with
+    the antipodal special case) and planted at the child centroid."""
+    d = parent_centroid - child_centroid
+    h = float(np.linalg.norm(d)) + 1e-6
+    cy = _cylinder_grid(r, h)
+    line1 = np.array([0.0, 0.0, 1.0])
+    line2 = d / h
+    v = np.cross(line1, line2)
+    c = float(np.dot(line1, line2)) + 1e-8
+    k = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    rot = np.eye(3) + k + k @ k * (1.0 / (1.0 + c))
+    if abs(c + 1.0) < 1e-4:  # cos = -1: the formula degenerates
+        rot = np.array([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]])
+    t = child_centroid + 5e-3 * line2
+    return cy @ rot.T + t  # (nv, nt, 3)
+
+
 def vis_structure(cano_pc, seg_part, joint_connection, save_path=None):
-    """Kinematic-structure viz (viz_utils.py:92-145): part point clouds plus
-    centroid-to-centroid edges (the reference draws cylinders; we draw dense
-    line samples — same information)."""
+    """Kinematic-structure viz (viz_utils.py:92-145): part point clouds,
+    black centroid joint markers, and the reference's EXACT cylinder-surface
+    edges between parent/child centroids. With plotly the cylinders are
+    go.Surface traces like the reference; the built-in canvas fallback
+    renders the same cylinder surface grids as dense point samples."""
     cano_pc = np.asarray(cano_pc)
     seg_part = np.asarray(seg_part)
     cols = part_colors(seg_part)
     uniq = sorted(set(seg_part.tolist()))
     centroids = {u: cano_pc[seg_part == u].mean(0) for u in uniq}
-    # sample edge line segments as points
-    edge_pts, edge_cols = [], []
+    cylinders = []
     for a, b in joint_connection:
-        pa, pb = centroids[int(a)], centroids[int(b)]
-        ts = np.linspace(0, 1, 60)[:, None]
-        edge_pts.append(pa[None] * (1 - ts) + pb[None] * ts)
-        edge_cols.append(np.tile([[1.0, 1.0, 1.0]], (60, 1)))
-    sets = [(cano_pc, cols)]
-    if edge_pts:
-        sets.append((np.concatenate(edge_pts), np.concatenate(edge_cols)))
+        ca, cb = int(a), int(b)  # (child, parent) edges
+        if ca not in centroids or cb not in centroids:
+            print(f"empty edge {cb}-{ca}: a part has no points")
+            continue
+        cylinders.append(_edge_cylinder(centroids[cb], centroids[ca]))
+    joint_pts = np.stack([centroids[u] for u in uniq])
+    sets = [(cano_pc, cols),
+            (joint_pts, np.zeros((len(uniq), 3)))]  # black joint markers
+    if cylinders:
+        cyl_pts = np.concatenate([c.reshape(-1, 3) for c in cylinders])
+        sets.append((cyl_pts, np.tile([[0.85, 0.85, 0.85]],
+                                      (len(cyl_pts), 1))))
     if save_path is None:
         return sets
     if HAS_PLOTLY:
         fig = go.Figure()
-        for p, c in sets:
+        for i, u in enumerate(uniq):
+            cp = centroids[u][None]
             fig.add_trace(go.Scatter3d(
-                x=p[:, 0], y=p[:, 2], z=p[:, 1], mode="markers",
-                marker=dict(color=_rgb_hex(c), size=4)))
-        fig.update_layout(scene=dict(aspectmode="data"))
+                x=cp[:, 0], y=cp[:, 2], z=cp[:, 1], mode="markers",
+                name=f"joint_{u}", marker=dict(color="black", size=20)))
+        fig.add_trace(go.Scatter3d(
+            x=cano_pc[:, 0], y=cano_pc[:, 2], z=cano_pc[:, 1],
+            mode="markers", name="pc",
+            marker=dict(color=_rgb_hex(cols), size=5)))
+        for cy in cylinders:
+            fig.add_trace(go.Surface(
+                x=cy[:, :, 0], y=cy[:, :, 2], z=cy[:, :, 1],
+                opacity=0.5, showscale=False))
+        fig.update_layout(showlegend=True, scene=dict(
+            xaxis_title="x", yaxis_title="z", zaxis_title="y",
+            aspectmode="data"))
         fig.write_html(save_path)
     else:
         _write_canvas_html(sets, save_path, "structure")
