@@ -65,28 +65,6 @@ def edge_index2edges(edge_index: dict):
     return out
 
 
-def _axis_excess_per_edge(axis, moment, cano_pc, seg, child):
-    """Normalized distance-beyond-object-radius of each mean revolute axis
-    from its child part's centroid (the cli._axis_excess geometry,
-    vectorized over edges; 0 whenever the axis passes within the object's
-    bounding radius of the child centroid)."""
-    center = cano_pc.mean(0)
-    r_obj = float(np.linalg.norm(cano_pc - center, axis=-1).max())
-    out = np.zeros(len(child))
-    for e in range(len(child)):
-        l_vec = axis[e]
-        nl = float(np.linalg.norm(l_vec))
-        if nl < 1e-8:
-            continue
-        lu = l_vec / nl
-        p0 = np.cross(lu, moment[e] / nl)  # closest axis point to origin
-        mask = seg == child[e]
-        c = cano_pc[mask].mean(0) if mask.any() else center
-        d = float(np.linalg.norm(np.cross(lu, c - p0)))
-        out[e] = max(0.0, d - r_obj) / max(r_obj, 1e-9)
-    return out
-
-
 def build_graph(
     edges_list,
     trans_list,

@@ -150,7 +150,15 @@ def refine_seg_motion(cano_pc, pc_list, trans_list, seg_part,
     p = len(labels)
     if p < 2:
         return seg
-    lab = jnp.asarray(labels)
+    # pad the candidate-part axis to a bucket of 4 with FAR-away sentinel
+    # poses (their reconstruction score is astronomically high, so argmin
+    # never selects them): the kernel batch dim is T*P and P varies run to
+    # run, which would otherwise cost a fresh ~35 s remote compile per new
+    # part count (measured).
+    p_pad = -(-p // 4) * 4
+    lab = jnp.asarray(np.concatenate([labels] + [labels[:1]]
+                                     * (p_pad - p))) if p_pad != p \
+        else jnp.asarray(labels)
 
     # spatial smoothing neighborhood (computed once on the cano cloud)
     _, nbr = nn_topk(cano, cano, smooth_k)  # (N, K) incl. self
@@ -160,13 +168,13 @@ def refine_seg_motion(cano_pc, pc_list, trans_list, seg_part,
     seg_c = jnp.asarray(inv)[seg]  # compact current labels (N,)
 
     for _ in range(n_it):
-        # (T, P, N, 3): every point carried by every candidate part's pose
-        sub = trans[:, lab]  # (T, P, 4, 4)
+        # (T, P_pad, N, 3): every point carried by every candidate pose
+        sub = trans[:, lab]  # (T, P_pad, 4, 4)
         moved = jnp.einsum("tpij,nj->tpni", sub[:, :, :3, :3], cano) \
             + sub[:, :, None, :3, 3]
-        d, _ = nn_topk(moved.reshape(t * p, n, 3),
-                       jnp.repeat(pcs, p, axis=0), 1)  # (T*P, N, 1)
-        cost = d[..., 0].reshape(t, p, n).mean(0).T  # (N, P)
+        d, _ = nn_topk(moved.reshape(t * p_pad, n, 3),
+                       jnp.repeat(pcs, p_pad, axis=0), 1)  # (T*P_pad, N, 1)
+        cost = d[..., 0].reshape(t, p_pad, n).mean(0).T  # (N, P_pad)
         # smooth the score field over spatial neighbors
         cost = ((1.0 - smooth_alpha) * cost
                 + smooth_alpha * cost[nbr].mean(axis=1))
