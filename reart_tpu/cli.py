@@ -194,13 +194,15 @@ def _common_args(p: argparse.ArgumentParser, domain: str):
     p.add_argument("--tree_search", default=-1, type=int,
                    help="kinematic stage: short-fit the greedy MST plus its "
                         "K-1 cheapest edge-swap spanning-tree neighbors and "
-                        "keep the lowest-energy tree (the projection ablation"
-                        " attributes the stage's flow degradation entirely "
-                        "to MST topology error; -1 = auto [default]: sweep "
-                        "K=8 but only when a swap's local cost delta is "
-                        "within --tree_search_margin of the typical edge "
-                        "cost, i.e. the MST is actually ambiguous; 0/1 = "
-                        "off, reference behavior)")
+                        "keep the lowest-energy tree (recovers wrong-parent "
+                        "trees where the wrong parent is not "
+                        "screw-expressible; at reference scale with "
+                        "--seg_refine live, the pool's near-ties project "
+                        "equivalently — PARITY round 5; -1 = auto "
+                        "[default]: sweep K=8 but only when a swap's local "
+                        "cost delta is within --tree_search_margin of the "
+                        "typical edge cost, i.e. the MST is actually "
+                        "ambiguous; 0/1 = off, reference behavior)")
     p.add_argument("--tree_search_iter", default=100, type=int,
                    help="per-candidate short-fit iterations")
     p.add_argument("--tree_search_margin", default=0.5, type=float,
@@ -718,14 +720,18 @@ def tree_search_build(args, domain: str, cano_pc, seg_part, trans_list,
                       pc_list, cfg, flow_ctx, key, stored_tree=None):
     """Energy-scored kinematic-tree selection (--tree_search K).
 
-    Why: scripts/ablate_projection.py attributes the projection stage's flow
-    degradation entirely to merge/MST topology error — with the right tree
-    the projection is lossless. The greedy MST minimizes local edge costs;
-    this sweep short-fits the MST plus its K-1 cheapest 1-edge-swap
-    spanning-tree neighbors and keeps the tree with the lowest fit energy
-    (ass + screw [+ group], the same energy the reference uses to select the
-    canonical frame, run_robot.py:305-321). All candidates share one
-    compiled fit program: identical (P, E) and a pad_depth=P-1 path matrix.
+    Why: on scenes where a wrong parent is not screw-expressible
+    (displaced hinges), the greedy MST's local decisions can cost the
+    whole projection stage; the sweep short-fits the MST plus its K-1
+    cheapest 1-edge-swap spanning-tree neighbors and keeps the tree with
+    the lowest fit energy (ass + screw [+ group], the same energy the
+    reference uses to select the canonical frame, run_robot.py:305-321).
+    Round-5 honesty note: at reference scale with --seg_refine live,
+    remaining candidates are near-ties that project equivalently, and no
+    measured unsupervised criterion (energy, veto, two holdout variants)
+    ranks them further — see PARITY round 5. All candidates share one
+    compiled fit program: identical (P, E) and a pad_depth=P-1 path
+    matrix.
 
     --tree_search -1 (auto, the default) sweeps K=8 but only keeps swap
     candidates whose local cost delta is within --tree_search_margin of the
