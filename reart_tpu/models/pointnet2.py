@@ -169,9 +169,12 @@ def _fp(block, xyz1, xyz2, points1, points2, bn_mode="running",
     if s == 1:
         interp = jnp.broadcast_to(points2, (b, n, points2.shape[-1]))
     else:
-        d = pairwise_sqdist(xyz1, xyz2)
-        neg, idx = jax.lax.top_k(-d, 3)
-        recip = 1.0 / (jnp.clip(-neg, min=0.0) + 1e-8)
+        from reart_tpu.ops.pallas_nn import nn_topk
+
+        # fused 3-NN kernel on TPU (lax.top_k is a sort); XLA fallback is
+        # the same top_k formulation off-TPU
+        dd, idx = nn_topk(xyz1, xyz2, 3)
+        recip = 1.0 / (dd + 1e-8)
         w = recip / jnp.sum(recip, axis=-1, keepdims=True)
         gathered = index_points_mm(points2, idx)  # (B, N, 3, D)
         interp = jnp.sum(gathered * w[..., None], axis=2)
